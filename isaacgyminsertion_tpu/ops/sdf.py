@@ -1,0 +1,173 @@
+"""Analytic signed-distance functions for every peg/hole family (pure JAX).
+
+The reference ships 116 .obj meshes and uses PhysX SDF collision + Open3D
+RaycastingScene + trimesh sampling (factory_env_insertion.py:60-447). All seven
+subassembly families are parametric solids, so here each is an *analytic* SDF
+with per-env shape parameters — a single batched code path feeds contact
+generation, extrinsic-contact ground truth, the depth camera ray-marcher and the
+tactile gel renderer, entirely on-device.
+
+Canonical frames:
+  - plug:   base center at origin, +z up, extruded over z in [0, length]
+  - socket: plate base center at origin, +z up, plate over z in [0, height],
+            hole through the full plate, centered on the z-axis.
+
+Cross-section families (kind codes):
+  0 circle    half-extents (r, r)        round pegs/holes
+  1 box       (hx, hy)                   rectangular / square
+  2 hexagon   regular, across-flats 2*hx (depth = across-corners = 4*hx/sqrt(3))
+  3 ellipse   semi-axes (hx, hy)
+  4 trapezoid bottom half-width hx, top half-width TRAPEZOID_TOP_RATIO*hx,
+              half-height hy
+  5 triangle  isosceles: base 2*hx at y=-hy, apex at y=+hy
+
+All SDF formulas are the standard exact constructions (Inigo Quilez's canonical
+2D/3D SDF catalog); the ellipse uses the well-known quadratic approximation
+(exact on the axes, <1% relative error elsewhere) to stay iteration-free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+def _safe_norm(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Norm with a well-defined (zero) gradient at x=0 (needed for sdf_normal)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-18)
+
+
+NUM_KINDS = 6
+KIND_CIRCLE, KIND_BOX, KIND_HEXAGON, KIND_ELLIPSE, KIND_TRAPEZOID, KIND_TRIANGLE = range(6)
+TRAPEZOID_TOP_RATIO = 0.6
+
+# ------------------------------------------------------------------ 2D sections
+
+
+def sd_circle(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
+    del hy
+    return jnp.linalg.norm(p, axis=-1) - hx
+
+
+def sd_box2d(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
+    d = jnp.abs(p) - jnp.stack([hx, hy], axis=-1)
+    return _safe_norm(jnp.maximum(d, 0.0)) + jnp.minimum(jnp.maximum(d[..., 0], d[..., 1]), 0.0)
+
+
+def sd_hexagon(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
+    """Regular hexagon, apothem hx (across-flats = 2*hx); hy ignored."""
+    del hy
+    kx, ky, kz = -0.8660254037844386, 0.5, 0.5773502691896258
+    q = jnp.abs(p)
+    dot = kx * q[..., 0] + ky * q[..., 1]
+    q = q - 2.0 * jnp.minimum(dot, 0.0)[..., None] * jnp.stack(
+        [jnp.full_like(dot, kx), jnp.full_like(dot, ky)], axis=-1
+    )
+    qx = q[..., 0].clip(-kz * hx, kz * hx)
+    d = jnp.stack([q[..., 0] - qx, q[..., 1] - hx], axis=-1)
+    return _safe_norm(d) * jnp.sign(q[..., 1] - hx)
+
+
+def sd_ellipse(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
+    """Approximate ellipse SDF: d = k0*(k0-1)/k1 (exact on axes)."""
+    ab = jnp.stack([hx, hy], axis=-1)
+    k0 = jnp.linalg.norm(p / ab, axis=-1)
+    k1 = jnp.linalg.norm(p / (ab * ab), axis=-1).clip(1e-9)
+    # the k0*(k0-1)/k1 form degenerates at the exact center; fall back there
+    return jnp.where(k0 < 1e-6, -jnp.minimum(hx, hy), k0 * (k0 - 1.0) / k1)
+
+
+def _sd_segment(p: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    pa = p - a
+    ba = b - a
+    h = (jnp.sum(pa * ba, axis=-1) / jnp.sum(ba * ba, axis=-1).clip(1e-12)).clip(0.0, 1.0)
+    return _safe_norm(pa - ba * h[..., None])
+
+
+def sd_trapezoid(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
+    """Isosceles trapezoid: bottom half-width hx at y=-hy, top TRAPEZOID_TOP_RATIO*hx at y=+hy."""
+    r1, r2, he = hx, TRAPEZOID_TOP_RATIO * hx, hy
+    px = jnp.abs(p[..., 0])
+    py = p[..., 1]
+    k1 = jnp.stack([r2, he], axis=-1)
+    k2 = jnp.stack([r2 - r1, 2.0 * he], axis=-1)
+    pq = jnp.stack([px, py], axis=-1)
+    ca_x = px - jnp.minimum(px, jnp.where(py < 0.0, r1, r2))
+    ca_y = jnp.abs(py) - he
+    ca = jnp.stack([ca_x, ca_y], axis=-1)
+    t = ((jnp.sum((k1 - pq) * k2, axis=-1)) / jnp.sum(k2 * k2, axis=-1).clip(1e-12)).clip(0.0, 1.0)
+    cb = pq - k1 + k2 * t[..., None]
+    s = jnp.where((cb[..., 0] < 0.0) & (ca[..., 1] < 0.0), -1.0, 1.0)
+    d2 = jnp.minimum(jnp.sum(ca * ca, axis=-1), jnp.sum(cb * cb, axis=-1))
+    return s * jnp.sqrt(d2)
+
+
+def sd_triangle_iso(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
+    """Isosceles triangle: base 2*hx at y=-hy, apex (0, +hy). Exact (point-segment)."""
+    a = jnp.stack([-hx, -hy], axis=-1)
+    b = jnp.stack([hx, -hy], axis=-1)
+    c = jnp.stack([jnp.zeros_like(hx), hy], axis=-1)
+    d = jnp.minimum(jnp.minimum(_sd_segment(p, a, b), _sd_segment(p, b, c)), _sd_segment(p, c, a))
+    # inside test via half-plane signs (CCW triangle)
+    def edge(e0, e1):
+        return (e1[..., 0] - e0[..., 0]) * (p[..., 1] - e0[..., 1]) - (e1[..., 1] - e0[..., 1]) * (
+            p[..., 0] - e0[..., 0]
+        )
+    inside = (edge(a, b) > 0) & (edge(b, c) > 0) & (edge(c, a) > 0)
+    return jnp.where(inside, -d, d)
+
+
+_SECTION_FNS = (sd_circle, sd_box2d, sd_hexagon, sd_ellipse, sd_trapezoid, sd_triangle_iso)
+
+
+def section_sdf(p2: jax.Array, kind_onehot: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
+    """2D cross-section SDF blended by one-hot kind (vectorized over mixed batches).
+
+    All six formulas are a handful of VPU flops; computing all and selecting is
+    far cheaper on TPU than data-dependent branching.
+    """
+    ds = jnp.stack([fn(p2, hx, hy) for fn in _SECTION_FNS], axis=-1)  # [..., 6]
+    return jnp.sum(ds * kind_onehot, axis=-1)
+
+
+# ------------------------------------------------------------------ 3D solids
+
+
+def extrude(d2: jax.Array, z: jax.Array, half_len: jax.Array, z_center: jax.Array) -> jax.Array:
+    """Extrude a 2D SDF over z in [z_center-half_len, z_center+half_len]."""
+    wz = jnp.abs(z - z_center) - half_len
+    dx = jnp.maximum(d2, 0.0)
+    dz = jnp.maximum(wz, 0.0)
+    return jnp.sqrt(dx * dx + dz * dz + 1e-18) + jnp.minimum(jnp.maximum(d2, wz), 0.0)
+
+
+def plug_sdf(p: jax.Array, kind_onehot: jax.Array, hx: jax.Array, hy: jax.Array, length: jax.Array) -> jax.Array:
+    """Plug solid SDF in the canonical plug frame (base at z=0, +z up)."""
+    d2 = section_sdf(p[..., :2], kind_onehot, hx, hy)
+    return extrude(d2, p[..., 2], 0.5 * length, 0.5 * length)
+
+
+def socket_sdf(
+    p: jax.Array,
+    kind_onehot: jax.Array,
+    hole_hx: jax.Array,
+    hole_hy: jax.Array,
+    height: jax.Array,
+    plate_hx: jax.Array,
+    plate_hy: jax.Array,
+) -> jax.Array:
+    """Socket = rectangular plate (z in [0, height]) minus a through-hole."""
+    plate2 = sd_box2d(p[..., :2], plate_hx, plate_hy)
+    plate = extrude(plate2, p[..., 2], 0.5 * height, 0.5 * height)
+    hole2 = section_sdf(p[..., :2], kind_onehot, hole_hx, hole_hy)
+    return jnp.maximum(plate, -hole2)
+
+
+def table_sdf(p: jax.Array, table_height: jax.Array) -> jax.Array:
+    """Table top as a halfspace z >= table_height (the plate under the socket)."""
+    return p[..., 2] - table_height
+
+
+def sdf_normal(sdf_fn, p: jax.Array, *args) -> jax.Array:
+    """Unit outward normal via analytic gradient of the SDF."""
+    g = jax.grad(lambda q: jnp.sum(sdf_fn(q, *args)))(p)
+    return g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
