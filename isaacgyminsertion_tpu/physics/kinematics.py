@@ -1,0 +1,96 @@
+"""Batched forward kinematics and Jacobians for the fixed-base tree (pure JAX).
+
+Replaces the PhysX-acquired Jacobian / body-state tensors of the reference
+(factory_base.py:176-315) with analytic, vmappable computations. The tree is
+static, so the per-body loop unrolls at trace time; everything else is batched
+array math that XLA fuses.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rotations as rot
+from .robot import RobotModel
+
+
+class FK(NamedTuple):
+    """World-frame kinematics of every body/joint (leading batch dims allowed)."""
+
+    body_q: jax.Array   # [..., nd, 4] body (joint frame) orientation
+    body_t: jax.Array   # [..., nd, 3] joint frame origin
+    joint_axis_w: jax.Array  # [..., nd, 3] world-frame joint axis
+    com_w: jax.Array    # [..., nd, 3] world-frame body com
+
+
+def forward_kinematics(model: RobotModel, q: jax.Array) -> FK:
+    """FK over the static tree. q: [..., nd]."""
+    nd = model.parent.shape[0]
+    batch = q.shape[:-1]
+    ident_q = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0], q.dtype), batch + (4,))
+    zero_t = jnp.zeros(batch + (3,), q.dtype)
+
+    body_q = []
+    body_t = []
+    for i in range(nd):
+        p = int(model.parent[i])
+        pq, pt = (ident_q, zero_t) if p < 0 else (body_q[p], body_t[p])
+        jq = jnp.asarray(model.joint_q[i], q.dtype)
+        jt = jnp.asarray(model.joint_t[i], q.dtype)
+        fq, ft = rot.tf_combine(pq, pt, jnp.broadcast_to(jq, batch + (4,)), jnp.broadcast_to(jt, batch + (3,)))
+        # joint rotation about local axis
+        axis = jnp.broadcast_to(jnp.asarray(model.axis[i], q.dtype), batch + (3,))
+        qj = rot.quat_from_angle_axis(q[..., i], axis)
+        bq = rot.quat_mul(fq, qj)
+        body_q.append(bq)
+        body_t.append(ft)
+
+    body_q = jnp.stack(body_q, axis=-2)
+    body_t = jnp.stack(body_t, axis=-2)
+    axis_w = rot.quat_apply(body_q, jnp.asarray(model.axis, q.dtype))
+    com_w = body_t + rot.quat_apply(body_q, jnp.asarray(model.com, q.dtype))
+    return FK(body_q=body_q, body_t=body_t, joint_axis_w=axis_w, com_w=com_w)
+
+
+def site_pose(model: RobotModel, fk: FK, site: int) -> tuple[jax.Array, jax.Array]:
+    """World pose (quat, pos) of a named site frame."""
+    b = int(model.site_body[site])
+    sq = jnp.asarray(model.site_q[site], fk.body_q.dtype)
+    st = jnp.asarray(model.site_t[site], fk.body_t.dtype)
+    return rot.tf_combine(fk.body_q[..., b, :], fk.body_t[..., b, :], sq, st)
+
+
+def point_jacobian(model: RobotModel, fk: FK, point_w: jax.Array, body: int) -> jax.Array:
+    """Geometric Jacobian [..., 6, nd] of a world point rigidly attached to `body`.
+
+    Row layout [linear; angular] (matches IsaacGym's world-space geometric
+    Jacobian used by factory_control).
+    """
+    mask = jnp.asarray(model.ancestor_mask[body], point_w.dtype)  # [nd]
+    r = point_w[..., None, :] - fk.body_t  # [..., nd, 3]
+    lin = jnp.cross(fk.joint_axis_w, r) * mask[..., None]
+    ang = fk.joint_axis_w * mask[..., None]
+    J = jnp.concatenate([lin, ang], axis=-1)  # [..., nd, 6]
+    return jnp.swapaxes(J, -1, -2)
+
+
+def all_com_jacobians(model: RobotModel, fk: FK) -> jax.Array:
+    """Body-com Jacobians for every body: [..., nb, 6, nd]."""
+    mask = jnp.asarray(model.ancestor_mask, fk.body_t.dtype)  # [nb, nd]
+    # r[b, j] = com_b - joint_origin_j
+    r = fk.com_w[..., :, None, :] - fk.body_t[..., None, :, :]  # [..., nb, nd, 3]
+    axes = fk.joint_axis_w[..., None, :, :]  # [..., 1, nd, 3] broadcast over bodies
+    lin = jnp.cross(jnp.broadcast_to(axes, r.shape), r) * mask[..., None]
+    ang = jnp.broadcast_to(axes, r.shape) * mask[..., None]
+    J = jnp.concatenate([lin, ang], axis=-1)  # [..., nb, nd, 6]
+    return jnp.swapaxes(J, -1, -2)
+
+
+def body_velocities(model: RobotModel, q: jax.Array, qd: jax.Array) -> jax.Array:
+    """Com spatial velocities [..., nb, 6] = J(q) qd."""
+    fk = forward_kinematics(model, q)
+    J = all_com_jacobians(model, fk)
+    return jnp.einsum("...bij,...j->...bi", J, qd)
