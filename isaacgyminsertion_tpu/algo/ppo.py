@@ -1,0 +1,302 @@
+"""PPO teacher (stage 1) — rollout, GAE and update fused into one jit graph.
+
+Parity target: algo/ppo/frozen_ppo.py (rl_games-derived PPO, SURVEY.md §2.3):
+asymmetric actor-critic with privileged encoder, horizon-64 rollouts, GAE
+(γ 0.99, τ 0.95), ratio clip 0.2, clipped value loss ×0.5×critic_coef 4,
+bounds loss 1e-4, entropy 0, grad-norm clip 1, adaptive-KL scheduler present
+but disabled (frozen_ppo.py:630), obs/priv/value RunningMeanStd, value
+bootstrap on timeout (reward×0.01 + γV, frozen_ppo.py:677-683 — a reference
+quirk preserved behind `value_bootstrap`), minibatch_size = batch/mini_epochs
+(frozen_ppo.py:215 quirk).
+
+TPU design: the env rollout is a `lax.scan` over the jitted env step — sim,
+observation pipeline, policy, GAE and all 8 mini-epochs run in ONE compiled
+program per epoch; the only host work is metric logging. Data parallelism is
+GSPMD: env-batch arrays carry a `dp` sharding, params are replicated, XLA
+emits the gradient psum (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..envs import insertion
+from ..envs.config import TaskConfig
+from ..models.actor_critic import (
+    ActorCriticSplit,
+    gaussian_neglogp,
+    policy_kl,
+    sample_actions,
+)
+from ..models.running_mean_std import RMSState, rms_init, rms_normalize, rms_update
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    horizon: int = 64
+    mini_epochs: int = 8
+    gamma: float = 0.99
+    tau: float = 0.95
+    e_clip: float = 0.2
+    critic_coef: float = 4.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 0.0001
+    grad_norm: float = 1.0
+    learning_rate: float = 2.5e-4
+    kl_threshold: float = 0.02
+    value_bootstrap: bool = True
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    clip_value: bool = True
+    max_agent_steps: float = 1.5e9
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+class PPOState(NamedTuple):
+    params: Any
+    opt_state: Any
+    obs_rms: RMSState
+    priv_rms: RMSState
+    value_rms: RMSState
+    env_state: insertion.EnvState
+    rng: jax.Array
+    epoch: jax.Array        # scalar i32
+    agent_steps: jax.Array  # scalar i64-ish f32
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    priv: jax.Array
+    actions: jax.Array
+    neglogp: jax.Array
+    values: jax.Array
+    rewards: jax.Array
+    dones: jax.Array
+    mu: jax.Array
+    sigma: jax.Array
+
+
+def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rng):
+    """Construct network, initial PPOState and the jitted train_epoch fn."""
+    obs_dim = cfg_task.env.num_obs_hist * cfg_task.env.num_observations
+    net = ActorCriticSplit(
+        num_actions=cfg_task.env.num_actions,
+        obs_dim=obs_dim,
+        priv_dim=cfg_task.env.num_states,
+    )
+    k_env, k_net, k_train = jax.random.split(rng, 3)
+    env_state = insertion.reset_all(cfg_task, model, subs, k_env, n_envs)
+    dummy_obs = jnp.zeros((1, obs_dim))
+    dummy_priv = jnp.zeros((1, cfg_task.env.num_states))
+    params = net.init(k_net, dummy_obs, dummy_priv)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(ppo_cfg.grad_norm),
+        optax.adam(ppo_cfg.learning_rate),
+    )
+    state = PPOState(
+        params=params,
+        opt_state=tx.init(params),
+        obs_rms=rms_init((obs_dim,)),
+        priv_rms=rms_init((cfg_task.env.num_states,)),
+        value_rms=rms_init(()),
+        env_state=env_state,
+        rng=k_train,
+        epoch=jnp.zeros((), jnp.int32),
+        agent_steps=jnp.zeros((), jnp.float32),
+    )
+    train_epoch = make_train_epoch(cfg_task, ppo_cfg, model, subs, net, tx)
+    return net, tx, state, train_epoch
+
+
+def make_act_fn(cfg_task: TaskConfig, net):
+    """Inference policy: obs_dict → clamped deterministic actions (test path)."""
+
+    def act(params, obs_rms, priv_rms, obs, priv):
+        o = rms_normalize(obs_rms, obs)
+        p = rms_normalize(priv_rms, priv)
+        mu, _, _, _, _ = net.apply(params, o, p)
+        return jnp.clip(mu, -1.0, 1.0)
+
+    return act
+
+
+def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx):
+    env_step = partial(insertion.step, cfg_task, model, subs)
+
+    def rollout_step(carry, _):
+        env_state, params, obs_rms, priv_rms, value_rms, rng = carry
+        rng, k_act = jax.random.split(rng)
+        obs = env_state.obs_queue
+        priv = insertion.priv_info_of(cfg_task, model, env_state)
+        o = rms_normalize(obs_rms, obs)
+        p = rms_normalize(priv_rms, priv)
+        mu, log_std, value_n, _, _ = net.apply(params, o, p)
+        actions, neglogp = sample_actions(mu, log_std, k_act)
+        value = _unnorm_value(ppo_cfg, value_rms, value_n)
+        clamped = jnp.clip(actions, -1.0, 1.0)
+        env_state, out = env_step(env_state, clamped)
+        if ppo_cfg.value_bootstrap:
+            shaped = 0.01 * out.rew + ppo_cfg.gamma * value * out.timeout.astype(out.rew.dtype)
+        else:
+            shaped = out.rew
+        tr = Transition(
+            obs=obs, priv=priv, actions=actions, neglogp=neglogp, values=value,
+            rewards=shaped, dones=out.reset.astype(jnp.float32), mu=mu,
+            sigma=jnp.exp(log_std) * jnp.ones_like(mu),
+        )
+        metrics = {
+            "reward": jnp.mean(out.rew),
+            "success": jnp.mean(out.extras["successes"]),
+            "dones": jnp.sum(out.reset.astype(jnp.float32)),
+        }
+        return (env_state, params, obs_rms, priv_rms, value_rms, rng), (tr, metrics)
+
+    def train_epoch(state: PPOState):
+        # ---------------- rollout (lax.scan, horizon T)
+        carry = (state.env_state, state.params, state.obs_rms, state.priv_rms,
+                 state.value_rms, state.rng)
+        carry, (traj, roll_metrics) = jax.lax.scan(
+            rollout_step, carry, None, length=ppo_cfg.horizon
+        )
+        env_state, _, _, _, _, rng = carry
+
+        # bootstrap value for the final state
+        obs_last = env_state.obs_queue
+        priv_last = insertion.priv_info_of(cfg_task, model, env_state)
+        o = rms_normalize(state.obs_rms, obs_last)
+        p = rms_normalize(state.priv_rms, priv_last)
+        _, _, last_value_n, _, _ = net.apply(state.params, o, p)
+        last_value = _unnorm_value(ppo_cfg, state.value_rms, last_value_n)
+
+        # ---------------- GAE (experience.py:242-255)
+        def gae_step(carry, tr_t):
+            adv_next, v_next, nd_next = carry
+            delta = tr_t.rewards + ppo_cfg.gamma * v_next * nd_next - tr_t.values
+            adv = delta + ppo_cfg.gamma * ppo_cfg.tau * nd_next * adv_next
+            return (adv, tr_t.values, 1.0 - tr_t.dones), adv
+
+        (_, _, _), advs = jax.lax.scan(
+            gae_step,
+            (jnp.zeros_like(last_value), last_value, 1.0 - traj.dones[-1]),
+            traj,
+            reverse=True,
+        )
+        returns = advs + traj.values
+
+        # ---------------- normalizer updates (batch-level)
+        obs_rms = rms_update(state.obs_rms, traj.obs) if ppo_cfg.normalize_input else state.obs_rms
+        priv_rms = rms_update(state.priv_rms, traj.priv) if ppo_cfg.normalize_input else state.priv_rms
+        value_rms = rms_update(state.value_rms, returns) if ppo_cfg.normalize_value else state.value_rms
+
+        returns_n = rms_normalize(value_rms, returns, clip=jnp.inf) if ppo_cfg.normalize_value else returns
+        values_n = rms_normalize(value_rms, traj.values, clip=jnp.inf) if ppo_cfg.normalize_value else traj.values
+
+        # flatten [T, N, ...] → [B, ...]
+        def fl(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = dict(
+            obs=fl(traj.obs), priv=fl(traj.priv), actions=fl(traj.actions),
+            neglogp=fl(traj.neglogp), values=fl(values_n), returns=fl(returns_n),
+            advs=fl(advs), mu=fl(traj.mu), sigma=fl(traj.sigma),
+        )
+        if ppo_cfg.normalize_advantage:
+            a = batch["advs"]
+            batch["advs"] = (a - jnp.mean(a)) / (jnp.std(a) + 1e-8)
+
+        B = ppo_cfg.horizon * traj.obs.shape[1]
+        # reference quirk: minibatch = batch // mini_epochs (frozen_ppo.py:215)
+        mb_size = B // ppo_cfg.mini_epochs
+        n_mb = B // mb_size
+
+        def loss_fn(params, mb):
+            o = rms_normalize(obs_rms, mb["obs"])
+            p = rms_normalize(priv_rms, mb["priv"])
+            mu, log_std, value, _, _ = net.apply(params, o, p)
+            neglogp = gaussian_neglogp(mb["actions"], mu, log_std)
+            ratio = jnp.exp(mb["neglogp"] - neglogp)
+            surr1 = mb["advs"] * ratio
+            surr2 = mb["advs"] * jnp.clip(ratio, 1.0 - ppo_cfg.e_clip, 1.0 + ppo_cfg.e_clip)
+            a_loss = jnp.mean(jnp.maximum(-surr1, -surr2))
+
+            if ppo_cfg.clip_value:
+                v_clipped = mb["values"] + jnp.clip(
+                    value - mb["values"], -ppo_cfg.e_clip, ppo_cfg.e_clip
+                )
+                v_loss = jnp.maximum(
+                    jnp.square(value - mb["returns"]), jnp.square(v_clipped - mb["returns"])
+                )
+            else:
+                v_loss = jnp.square(value - mb["returns"])
+            c_loss = jnp.mean(v_loss)
+
+            entropy = jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e))
+            mu_excess = jnp.clip(mu - 1.1, 0.0) ** 2 + jnp.clip(mu + 1.1, None, 0.0) ** 2
+            b_loss = jnp.mean(jnp.sum(mu_excess, axis=-1))
+
+            loss = (
+                a_loss
+                + 0.5 * c_loss * ppo_cfg.critic_coef
+                - entropy * ppo_cfg.entropy_coef
+                + b_loss * ppo_cfg.bounds_loss_coef
+            )
+            kl = policy_kl(mu, jnp.exp(log_std) * jnp.ones_like(mu), mb["mu"], mb["sigma"])
+            return loss, {"a_loss": a_loss, "c_loss": c_loss, "b_loss": b_loss, "kl": kl}
+
+        def mb_update(carry, idx):
+            params, opt_state = carry
+            mb = jax.tree_util.tree_map(lambda x: x[idx], batch)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return (params, opt_state), aux
+
+        def epoch_body(carry, k):
+            params, opt_state, rng = carry
+            rng, kp = jax.random.split(rng)
+            perm = jax.random.permutation(kp, B).reshape(n_mb, mb_size)
+            (params, opt_state), aux = jax.lax.scan(mb_update, (params, opt_state), perm)
+            aux = jax.tree_util.tree_map(jnp.mean, aux)
+            return (params, opt_state, rng), aux
+
+        (params, opt_state, rng), aux = jax.lax.scan(
+            epoch_body, (state.params, state.opt_state, rng), None,
+            length=ppo_cfg.mini_epochs,
+        )
+        aux = jax.tree_util.tree_map(jnp.mean, aux)
+        roll = jax.tree_util.tree_map(jnp.mean, roll_metrics)
+        metrics = {**aux, **{f"episode/{k}": v for k, v in roll.items()}}
+
+        n_envs = traj.obs.shape[1]
+        new_state = PPOState(
+            params=params,
+            opt_state=opt_state,
+            obs_rms=obs_rms,
+            priv_rms=priv_rms,
+            value_rms=value_rms,
+            env_state=env_state,
+            rng=rng,
+            epoch=state.epoch + 1,
+            agent_steps=state.agent_steps + ppo_cfg.horizon * n_envs,
+        )
+        return new_state, metrics
+
+    return train_epoch
+
+
+def _unnorm_value(ppo_cfg, value_rms, v):
+    from ..models.running_mean_std import rms_unnormalize
+
+    return rms_unnormalize(value_rms, v) if ppo_cfg.normalize_value else v

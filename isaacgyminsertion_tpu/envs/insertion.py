@@ -1,0 +1,733 @@
+"""FactoryTaskInsertionTactile, TPU-native: the full MDP as one pure jitted step.
+
+Replaces the reference's L1-L4 stack (vec_task.py + factory_base.py +
+factory_env_insertion.py + factory_task_insertion.py, SURVEY.md §3.2) with a
+single functional environment:
+
+    state' , out = step(cfg, model, subs, state, policy_actions)
+
+Everything that the reference does with Python-side buffers, per-env loops and
+property APIs is here a fixed-shape array program: masked resets, action
+latency queues, observation staleness, domain randomization, rewards, success/
+failure detection. The whole env batch [N, ...] lives in one jit graph, so a
+PPO rollout is `lax.scan(step)` with zero host round-trips (north-star design,
+SURVEY.md §7.3.6).
+
+Reset semantics follow the predefined-grasp path (factory_task_insertion.py:
+1221-1255): instead of replaying the reference's recorded `initial_grasp_data`
+npz datasets, resets sample the same distribution analytically — socket pose
+from socket_pos_xy_initial + noise, plug grasped under the fingertip-centered
+frame with plug_pos_z / rot noise, hand dofs at closed-with-noise — which is
+what the grasp datasets encode (SURVEY.md §2.1 grasp-generation task).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..assets import SubassemblySet
+from ..ops import control as ctrlmod
+from ..ops import rotations as rot
+from ..physics import engine
+from ..physics.engine import ControlInput, PhysicsParams, PhysicsState
+from ..physics.kinematics import forward_kinematics, point_jacobian, site_pose
+from ..physics.robot import (
+    SITE_FINGER_1,
+    SITE_FINGER_2,
+    SITE_FINGER_3,
+    SITE_FINGERTIP_CENTERED,
+    RobotModel,
+)
+from .config import TaskConfig
+
+ACTION_QUEUE_LEN = 16  # action_latency_max 15 + current (FactoryTaskInsertionTactile.yaml:61)
+
+
+class EnvState(NamedTuple):
+    """Complete per-env episode state; every leaf is [N, ...]."""
+
+    phys: PhysicsState
+    params: PhysicsParams          # DR-randomized per episode
+    rng: jax.Array                 # [N, 2] per-env fold-in keys? single key [2]
+    sub_idx: jax.Array             # [N] subassembly row per env
+    progress: jax.Array            # [N] i32 steps since reset
+    frame: jax.Array               # [N] i32 global frame (decimation phase)
+    global_step: jax.Array         # [] i32 total policy steps (schedules)
+    # action pipeline
+    actions: jax.Array             # [N, 6] current policy actions
+    prev_actions: jax.Array        # [N, 6]
+    actions_queue: jax.Array       # [N, Q, 6] newest at index 0
+    action_latency: jax.Array      # [N] i32
+    targets: jax.Array             # [N, 6] accumulated pose targets (logging parity)
+    # observation staleness state
+    obs_queue: jax.Array           # [N, hist*obs]
+    obs_stud_queue: jax.Array      # [N, hist*obs_stud]
+    obs_plug_pos_freq: jax.Array   # [N, 3] decimated plug pos
+    obs_plug_quat_freq: jax.Array  # [N, 4]
+    obs_plug_pos: jax.Array        # [N, 3] decimated + delayed plug pos
+    obs_plug_quat: jax.Array       # [N, 4]
+    plug_pose_refresh_rate: jax.Array    # [N] i32 in [1, max_object_skip_obs]
+    plug_pose_refresh_offset: jax.Array  # [N] i32
+    # episode reference snapshots
+    plug_hand_pos_init: jax.Array  # [N, 3]
+    plug_hand_quat_init: jax.Array # [N, 4]
+    plug_pos_init: jax.Array       # [N, 3] (degrasp reference)
+    finger_forces_ema: jax.Array   # [N, 3] normalized fingertip force EMA
+    rb_force: jax.Array            # [N, 3] decaying random plug force (Dactyl DR)
+    # termination
+    reset_buf: jax.Array           # [N] bool
+    success_reset_buf: jax.Array   # [N] bool
+    timeout_reset_buf: jax.Array   # [N] bool
+    degrasp_buf: jax.Array         # [N] bool
+    far_from_goal_buf: jax.Array   # [N] bool
+    progress_change_tracker: jax.Array  # [N] i32 (reset_at_success counter)
+    ep_reward: jax.Array           # [N] running episode reward
+
+
+class StepOutput(NamedTuple):
+    obs: jax.Array            # [N, hist*15]
+    student_obs: jax.Array    # [N, hist*15]
+    priv_info: jax.Array      # [N, 64]
+    rew: jax.Array            # [N]
+    reset: jax.Array          # [N] bool
+    timeout: jax.Array        # [N] bool
+    extras: dict[str, jax.Array]
+
+
+# --------------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------------- #
+
+
+def _uniform(key, shape, lo, hi, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=lo, maxval=hi) if isinstance(lo, float) else (
+        jax.random.uniform(key, shape, dtype) * (jnp.asarray(hi, dtype) - jnp.asarray(lo, dtype))
+        + jnp.asarray(lo, dtype)
+    )
+
+
+def _sym_noise(key, shape, scale, dtype=jnp.float32):
+    """Uniform in [-scale, scale] per component (reference's 2*(rand-0.5) @ diag)."""
+    return (2.0 * jax.random.uniform(key, shape, dtype) - 1.0) * jnp.asarray(scale, dtype)
+
+
+def _where(mask, new, old):
+    """Masked leaf update; mask [N] broadcasts over trailing dims."""
+    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+    return jnp.where(m, new, old)
+
+
+def _masked_tree(mask, new, old):
+    return jax.tree_util.tree_map(lambda a, b: _where(mask, a, b), new, old)
+
+
+def world_to_robot_base(pos, quat):
+    """The kuka base sits at the world origin, so robot-frame == world-frame
+    (reference subtracts the base pose, factory_base.py:633-697)."""
+    return pos, quat
+
+
+# --------------------------------------------------------------------------- #
+# reset
+# --------------------------------------------------------------------------- #
+
+
+def _gather_shape_rows(subs: SubassemblySet, sub_idx: jax.Array) -> dict:
+    g = lambda a: jnp.asarray(a)[sub_idx]
+    return dict(
+        kind_onehot=g(subs.kind_onehot),
+        plug_hx=g(subs.plug_hx),
+        plug_hy=g(subs.plug_hy),
+        plug_length=g(subs.plug_length),
+        hole_hx=g(subs.hole_hx),
+        hole_hy=g(subs.hole_hy),
+        socket_height=g(subs.socket_height),
+        surface_points=g(subs.surface_points),
+        surface_weights=g(subs.surface_weights),
+        plug_mass=g(subs.plug_mass),
+        plug_inertia=g(subs.plug_inertia),
+        plug_com_z=g(subs.plug_com_z),
+        friction=g(subs.friction),
+    )
+
+
+def _sample_episode(
+    cfg: TaskConfig,
+    model: RobotModel,
+    subs: SubassemblySet,
+    key: jax.Array,
+    n: int,
+    sub_idx: jax.Array,
+    base_params: PhysicsParams,
+) -> tuple[PhysicsState, PhysicsParams, dict]:
+    """Sample fresh episode state for ALL envs (callers mask into the batch)."""
+    rz = cfg.randomize
+    keys = jax.random.split(key, 12)
+    rows = _gather_shape_rows(subs, sub_idx)
+
+    # ---- socket pose (factory_task_insertion.py:1591-1640 distribution)
+    sock_xy = jnp.asarray(rz.socket_pos_xy_initial) + _sym_noise(keys[0], (n, 2), rz.socket_pos_xy_noise)
+    sock_z = cfg.sim.table_height + _uniform(
+        keys[1], (n,), float(rz.socket_pos_z_noise_bounds[0]), float(rz.socket_pos_z_noise_bounds[1])
+    )
+    socket_pos = jnp.concatenate([sock_xy, sock_z[:, None]], axis=-1)
+    sock_eul = _sym_noise(keys[2], (n, 3), rz.socket_rot_euler_noise)
+    socket_quat = rot.quat_from_euler_xyz(sock_eul[..., 0], sock_eul[..., 1], sock_eul[..., 2])
+
+    # ---- robot dofs: arm initial + openhand closed-with-noise
+    oh = cfg.env.openhand
+    q_arm = jnp.tile(jnp.asarray(rz.kuka_arm_initial_dof_pos, jnp.float32), (n, 1))
+    prox = oh.proximal_close + _sym_noise(keys[3], (n, 3), oh.proximal_noise)
+    dist = oh.distal_close + _sym_noise(keys[4], (n, 3), oh.distal_noise)
+    base = jnp.full((n, 1), oh.base_angle)
+    q_hand = jnp.concatenate(
+        [base, prox[:, :1], dist[:, :1], -base, prox[:, 1:2], dist[:, 1:2], prox[:, 2:], dist[:, 2:]],
+        axis=-1,
+    )
+    q = jnp.concatenate([q_arm, q_hand], axis=-1)
+
+    # ---- plug pose: grasped below the fingertip-centered frame
+    fk = forward_kinematics(model, q)
+    ftc_q, ftc_t = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+    # plug z-axis along the (downward-pointing) tool axis; base `grip_depth`
+    # above the fingertips so the plug body hangs below the grasp center
+    plug_eul = _sym_noise(keys[5], (n, 3), rz.plug_rot_noise)
+    dq = rot.quat_from_euler_xyz(plug_eul[..., 0], plug_eul[..., 1], plug_eul[..., 2])
+    plug_quat = rot.quat_unit(dq)  # world-frame: plug +z up with noise
+    grasp_off = _sym_noise(keys[6], (n, 3), (rz.grasp_plug_noise,) * 3)
+    # grasp around the top third of the plug
+    plug_pos = ftc_t + grasp_off - rot.quat_apply(
+        plug_quat,
+        jnp.stack([jnp.zeros((n,)), jnp.zeros((n,)), rows["plug_length"] * 0.8], -1),
+    )
+
+    # ---- DR over physics params (setup randomizations, SURVEY.md §2.1)
+    mass_scale = _uniform(keys[7], (n,), float(rz.plug_mass_scale[0]), float(rz.plug_mass_scale[1]))
+    plug_fric_scale = _uniform(keys[8], (n,), float(rz.plug_friction_scale[0]), float(rz.plug_friction_scale[1]))
+    sock_fric = _uniform(keys[9], (n,), float(rz.socket_friction_scale[0]), float(rz.socket_friction_scale[1]))
+    from ..assets import PLUG_FRICTION
+
+    mu_plug = PLUG_FRICTION * plug_fric_scale
+    base_contact = base_params.contact
+    contact = base_contact._replace(
+        mu_socket=0.5 * (mu_plug + sock_fric),            # PhysX-style pair average
+        mu_table=0.5 * (mu_plug + cfg.sim.table_friction),
+        mu_finger=0.5 * (mu_plug + cfg.sim.kuka_friction),
+    )
+
+    gravity = jnp.full((n,), 0.0 if cfg.sim.disable_gravity else cfg.sim.gravity, jnp.float32)
+
+    params = base_params._replace(
+        kind_onehot=rows["kind_onehot"],
+        plug_hx=rows["plug_hx"],
+        plug_hy=rows["plug_hy"],
+        plug_length=rows["plug_length"],
+        hole_hx=rows["hole_hx"],
+        hole_hy=rows["hole_hy"],
+        socket_height=rows["socket_height"],
+        surface_points=rows["surface_points"],
+        surface_weights=rows["surface_weights"],
+        plug_mass=rows["plug_mass"] * mass_scale,
+        plug_inertia=rows["plug_inertia"] * mass_scale[:, None],
+        plug_com_z=rows["plug_com_z"],
+        socket_pos=socket_pos,
+        socket_quat=socket_quat,
+        table_height=jnp.full((n,), cfg.sim.table_height, jnp.float32),
+        gravity=gravity,
+        contact=contact,
+    )
+
+    phys = PhysicsState(
+        q=q,
+        qd=jnp.zeros((n, 15), jnp.float32),
+        plug_pos=plug_pos,
+        plug_quat=plug_quat,
+        plug_v=jnp.zeros((n, 3), jnp.float32),
+        plug_w=jnp.zeros((n, 3), jnp.float32),
+        ctrl_torque=jnp.zeros((n, 15), jnp.float32),
+        tip_forces=jnp.zeros((n, 3, 3), jnp.float32),
+        tip_fn=jnp.zeros((n, 3), jnp.float32),
+    )
+
+    # physics params exposed to the priv state (see _physics_params_vec)
+    aux = dict(
+        mu_plug=mu_plug,
+        mu_socket=sock_fric,
+        ftc_q=ftc_q,
+        ftc_t=ftc_t,
+        mass_scale=mass_scale,
+    )
+    return phys, params, aux
+
+
+def reset_all(
+    cfg: TaskConfig,
+    model: RobotModel,
+    subs: SubassemblySet,
+    key: jax.Array,
+    n: int,
+) -> EnvState:
+    """Build a fresh EnvState for the full batch (initial reset)."""
+    k_sub, k_ep, k_lat, k_rate, k_off, k_state = jax.random.split(key, 6)
+    n_sub = len(subs.names)
+    sub_idx = jax.random.randint(k_sub, (n,), 0, n_sub)
+    base_params = engine.make_params(subs, sub_idx, n)
+    phys, params, _aux = _sample_episode(cfg, model, subs, k_ep, n, sub_idx, base_params)
+
+    hist = cfg.env.num_obs_hist * cfg.env.num_observations
+    hist_s = cfg.env.num_obs_stud_hist * cfg.env.num_obs_student
+    fk = forward_kinematics(model, phys.q)
+    hand_q, hand_t = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+    ph_pos, ph_quat = _pose_in_frame(phys.plug_pos, phys.plug_quat, hand_t, hand_q)
+
+    state = EnvState(
+        phys=phys,
+        params=params,
+        rng=k_state,
+        sub_idx=sub_idx,
+        progress=jnp.zeros((n,), jnp.int32),
+        frame=jnp.zeros((n,), jnp.int32),
+        global_step=jnp.zeros((), jnp.int32),
+        actions=jnp.zeros((n, 6), jnp.float32),
+        prev_actions=jnp.zeros((n, 6), jnp.float32),
+        actions_queue=jnp.zeros((n, ACTION_QUEUE_LEN, 6), jnp.float32),
+        action_latency=jax.random.randint(k_lat, (n,), 0, 2),
+        targets=jnp.zeros((n, 6), jnp.float32),
+        obs_queue=jnp.zeros((n, hist), jnp.float32),
+        obs_stud_queue=jnp.zeros((n, hist_s), jnp.float32),
+        obs_plug_pos_freq=phys.plug_pos,
+        obs_plug_quat_freq=phys.plug_quat,
+        obs_plug_pos=phys.plug_pos,
+        obs_plug_quat=phys.plug_quat,
+        plug_pose_refresh_rate=jax.random.randint(k_rate, (n,), 1, cfg.env.max_object_skip_obs + 1),
+        plug_pose_refresh_offset=jax.random.randint(k_off, (n,), 0, cfg.env.max_object_skip_obs),
+        plug_hand_pos_init=ph_pos,
+        plug_hand_quat_init=ph_quat,
+        plug_pos_init=phys.plug_pos,
+        finger_forces_ema=jnp.zeros((n, 3), jnp.float32),
+        rb_force=jnp.zeros((n, 3), jnp.float32),
+        reset_buf=jnp.zeros((n,), bool),
+        success_reset_buf=jnp.zeros((n,), bool),
+        timeout_reset_buf=jnp.zeros((n,), bool),
+        degrasp_buf=jnp.zeros((n,), bool),
+        far_from_goal_buf=jnp.zeros((n,), bool),
+        progress_change_tracker=jnp.zeros((n,), jnp.int32),
+        ep_reward=jnp.zeros((n,), jnp.float32),
+    )
+    return state
+
+
+def _pose_in_frame(pos, quat, frame_t, frame_q):
+    inv_q, inv_t = rot.tf_inverse(frame_q, frame_t)
+    return rot.tf_combine(inv_q, inv_t, quat, pos)
+
+
+def _reset_idx(cfg, model, subs, state: EnvState, mask: jax.Array, key: jax.Array) -> EnvState:
+    """Masked pure re-init of done envs (reference reset_idx, §3.4)."""
+    n = mask.shape[0]
+    k_sub, k_ep, k_lat, k_rate, k_off = jax.random.split(key, 5)
+    n_sub = len(subs.names)
+    same = cfg.randomize.same_socket
+    new_sub = state.sub_idx if same else jax.random.randint(k_sub, (n,), 0, n_sub)
+    sub_idx = jnp.where(mask, new_sub, state.sub_idx)
+    phys_new, params_new, _aux = _sample_episode(cfg, model, subs, k_ep, n, sub_idx, state.params)
+
+    phys = _masked_tree(mask, phys_new, state.phys)
+    params = _masked_tree(mask, params_new, state.params)
+
+    fk = forward_kinematics(model, phys_new.q)
+    hand_q, hand_t = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+    ph_pos, ph_quat = _pose_in_frame(phys_new.plug_pos, phys_new.plug_quat, hand_t, hand_q)
+
+    # annealed per-env action latency cap (factory_task_insertion.py:602-626)
+    cur_max = jnp.minimum(
+        jnp.maximum(
+            (state.global_step * cfg.env.action_latency_cur_max)
+            // max(cfg.env.action_latency_scheduled_steps, 1),
+            1,
+        ),
+        cfg.env.action_latency_cur_max,
+    )
+    lat = (jax.random.uniform(k_lat, (n,)) * (cur_max.astype(jnp.float32) + 1.0)).astype(jnp.int32)
+
+    zero6 = jnp.zeros((n, 6), jnp.float32)
+    return state._replace(
+        phys=phys,
+        params=params,
+        sub_idx=sub_idx,
+        progress=jnp.where(mask, 0, state.progress),
+        actions=_where(mask, zero6, state.actions),
+        prev_actions=_where(mask, zero6, state.prev_actions),
+        actions_queue=_where(mask, jnp.zeros_like(state.actions_queue), state.actions_queue),
+        action_latency=jnp.where(mask, lat, state.action_latency),
+        targets=_where(mask, zero6, state.targets),
+        obs_queue=_where(mask, jnp.zeros_like(state.obs_queue), state.obs_queue),
+        obs_stud_queue=_where(mask, jnp.zeros_like(state.obs_stud_queue), state.obs_stud_queue),
+        obs_plug_pos_freq=_where(mask, phys_new.plug_pos, state.obs_plug_pos_freq),
+        obs_plug_quat_freq=_where(mask, phys_new.plug_quat, state.obs_plug_quat_freq),
+        obs_plug_pos=_where(mask, phys_new.plug_pos, state.obs_plug_pos),
+        obs_plug_quat=_where(mask, phys_new.plug_quat, state.obs_plug_quat),
+        plug_pose_refresh_rate=jnp.where(
+            mask, jax.random.randint(k_rate, (n,), 1, cfg.env.max_object_skip_obs + 1),
+            state.plug_pose_refresh_rate,
+        ),
+        plug_pose_refresh_offset=jnp.where(
+            mask, jax.random.randint(k_off, (n,), 0, cfg.env.max_object_skip_obs),
+            state.plug_pose_refresh_offset,
+        ),
+        plug_hand_pos_init=_where(mask, ph_pos, state.plug_hand_pos_init),
+        plug_hand_quat_init=_where(mask, ph_quat, state.plug_hand_quat_init),
+        plug_pos_init=_where(mask, phys_new.plug_pos, state.plug_pos_init),
+        finger_forces_ema=_where(mask, jnp.zeros((n, 3)), state.finger_forces_ema),
+        rb_force=_where(mask, jnp.zeros((n, 3)), state.rb_force),
+        reset_buf=jnp.where(mask, False, state.reset_buf),
+        success_reset_buf=jnp.where(mask, False, state.success_reset_buf),
+        timeout_reset_buf=jnp.where(mask, False, state.timeout_reset_buf),
+        degrasp_buf=jnp.where(mask, False, state.degrasp_buf),
+        far_from_goal_buf=jnp.where(mask, False, state.far_from_goal_buf),
+        progress_change_tracker=jnp.where(mask, 0, state.progress_change_tracker),
+        ep_reward=jnp.where(mask, 0.0, state.ep_reward),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# step
+# --------------------------------------------------------------------------- #
+
+
+def _socket_tip(params: PhysicsParams) -> jax.Array:
+    return rot.translate_along_local_z(params.socket_pos, params.socket_quat, params.socket_height)
+
+
+def _physics_params_vec(cfg, state: EnvState) -> jax.Array:
+    """14-dim physics-param block of the priv state (compute_observations
+    physics_params, factory_task_insertion.py:784-820) — here a pure gather
+    from state arrays instead of per-env property-API reads."""
+    p = state.params
+    c = p.contact
+    mu_plug = 2.0 * c.mu_table - cfg.sim.table_friction  # invert the pair average
+    mu_socket = 2.0 * c.mu_socket - mu_plug
+    finger_mu = jnp.broadcast_to(2.0 * c.mu_finger - mu_plug, mu_plug.shape)
+    return jnp.stack(
+        [
+            p.plug_mass,
+            mu_plug,
+            mu_socket,
+            finger_mu,
+            finger_mu,
+            finger_mu,
+            p.plug_length,          # plug_heights
+            2.0 * p.plug_hy,        # plug_depths
+            2.0 * p.plug_hx,        # plug_widths
+            p.socket_height,        # socket_heights
+            2.0 * p.hole_hy,        # socket_depths
+            2.0 * p.hole_hx,        # socket_widths
+            jnp.ones_like(p.plug_mass),  # plug_scale (folded into dims)
+            jnp.ones_like(p.plug_mass),  # socket_scale
+        ],
+        axis=-1,
+    )
+
+
+def priv_info_of(cfg: TaskConfig, model: RobotModel, state: EnvState) -> jax.Array:
+    """Recompute the 64-dim privileged state from the current EnvState.
+
+    Used by trainers to form the critic input for the state *before* the first
+    step of a rollout; `step` emits the same layout in StepOutput.priv_info.
+    """
+    phys, params = state.phys, state.params
+    n = phys.q.shape[0]
+    fk = forward_kinematics(model, phys.q)
+    hand_q, hand_t = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+    socket_tip = _socket_tip(params)
+    plug_tip = rot.translate_along_local_z(phys.plug_pos, phys.plug_quat, params.plug_length)
+    ph_pos, ph_quat = _pose_in_frame(state.obs_plug_pos, state.obs_plug_quat, hand_t, hand_q)
+    plug_pos_err, plug_quat_err = ctrlmod.get_pose_error(
+        state.obs_plug_pos, state.obs_plug_quat, params.socket_pos, params.socket_quat,
+        rot_error_type="quat",
+    )
+    from ..physics.robot import HAND_JOINT_IDX
+
+    hand_joints = phys.q[:, jnp.asarray(HAND_JOINT_IDX)]
+    return jnp.concatenate(
+        [
+            hand_joints, phys.q[:, :7], phys.qd[:, :7], socket_tip, params.socket_pos,
+            plug_tip, phys.plug_pos, phys.plug_quat, ph_pos, ph_quat,
+            plug_pos_err, plug_quat_err, _physics_params_vec(cfg, state),
+        ],
+        axis=-1,
+    )
+
+
+def step(
+    cfg: TaskConfig,
+    model: RobotModel,
+    subs: SubassemblySet,
+    state: EnvState,
+    policy_actions: jax.Array,
+) -> tuple[EnvState, StepOutput]:
+    """One control step of the full env batch. Pure; jit/scan/shard_map-safe."""
+    n = policy_actions.shape[0]
+    rng, k_reset, k_lat_delay, k_scale, k_sock, k_obs_delay, k_obs_noise, k_act_noise, k_force = (
+        jax.random.split(state.rng, 9)
+    )
+
+    # ---------------- pre-physics: reset done envs (vec_task.step → pre_physics)
+    state = _reset_idx(cfg, model, subs, state, state.reset_buf, k_reset)
+
+    # action DR noise (randomization_params.actions: additive gaussian 0.02)
+    actions = jnp.clip(policy_actions, -1.0, 1.0)
+    if cfg.randomize.domain_randomize:
+        actions = actions + cfg.randomize.action_noise * jax.random.normal(k_act_noise, actions.shape)
+    prev_actions = state.actions
+    # latency queue: newest at slot 0 (factory_task_insertion.py:602-626)
+    queue = jnp.concatenate([actions[:, None], state.actions_queue[:, :-1]], axis=1)
+    lat = jnp.clip(state.action_latency, 0, ACTION_QUEUE_LEN - 1)
+    delayed = jnp.take_along_axis(queue, lat[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    delay_mask = jax.random.uniform(k_lat_delay, (n, 1)) > cfg.env.action_delay_prob_max
+    actions_applied = jnp.where(delay_mask, delayed, prev_actions)
+
+    # action scale DR (scale_noise_pos/rot, _apply_actions_as_ctrl_targets)
+    pos_scale = jnp.asarray(cfg.rl.pos_action_scale)
+    rot_scale = jnp.asarray(cfg.rl.rot_action_scale)
+    if cfg.randomize.domain_randomize:
+        ks1, ks2, ks3, ks4 = jax.random.split(k_scale, 4)
+        pos_noise = _sym_noise(ks1, (n, 3), cfg.randomize.scale_noise_pos)
+        rot_noise = _sym_noise(ks2, (n, 3), cfg.randomize.scale_noise_rot)
+        pos_on = (jax.random.uniform(ks3, (n, 1)) > 1 - cfg.env.scale_pos_prob)
+        rot_on = (jax.random.uniform(ks4, (n, 1)) > cfg.env.scale_rot_prob)
+        pos_scale = jnp.clip(pos_scale + pos_noise * pos_on, 0.0)
+        rot_scale = jnp.clip(rot_scale + rot_noise * rot_on, 0.0)
+    pos_actions = actions_applied[:, :3] * pos_scale
+    rot_actions = actions_applied[:, 3:6] * rot_scale
+
+    # ---------------- control targets → q_target (IK, gym_default path)
+    fk = forward_kinematics(model, state.phys.q)
+    ftc_q, ftc_t = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+    target_pos = ftc_t + pos_actions
+    angle = jnp.linalg.norm(rot_actions, axis=-1)
+    axis = rot_actions / jnp.maximum(angle[:, None], 1e-9)
+    dquat = rot.quat_from_angle_axis(angle, axis)
+    if cfg.rl.clamp_rot:
+        ident = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+        dquat = jnp.where((angle > cfg.rl.clamp_rot_thresh)[:, None], dquat, ident)
+    target_quat = rot.quat_mul(dquat, ftc_q)
+
+    J_ftc = point_jacobian(model, fk, ftc_t, 6)[..., :7]  # [N, 6, 7]
+    oh = cfg.env.openhand
+    gripper_target = state.phys.q[:, 7:]  # hold the grasp (ctrl_target_gripper_dof_pos)
+    q_target = ctrlmod.compute_dof_pos_target(
+        state.phys.q[:, :7], ftc_t, ftc_q, J_ftc, target_pos, target_quat, gripper_target,
+    )
+
+    # random plug disturbance wrench (OpenAI-Dactyl-style, :667-680)
+    rbf = state.rb_force * (0.99 ** (cfg.sim.dt / 0.08)) if cfg.randomize.force_scale > 0 else state.rb_force * 0.0
+    if cfg.randomize.force_scale > 0.0:
+        kf1, kf2 = jax.random.split(k_force)
+        hit = jax.random.uniform(kf1, (n, 1)) < 0.01
+        new_f = jax.random.normal(kf2, (n, 3)) * state.params.plug_mass[:, None] * cfg.randomize.force_scale
+        rbf = jnp.where(hit, new_f, rbf)
+    wrench = jnp.concatenate([rbf, jnp.zeros((n, 3))], axis=-1)
+
+    ctrl = ControlInput(
+        q_target=q_target,
+        tau_cmd=jnp.zeros_like(q_target),
+        torque_mode_mask=jnp.zeros((15,), q_target.dtype),
+        plug_wrench=wrench,
+    )
+
+    # ---------------- physics
+    phys = engine.step(
+        model, state.params, state.phys, ctrl, dt=cfg.sim.dt, n_substeps=cfg.sim.substeps,
+        smooth_force=0.9 if cfg.env.smooth_force else 0.0,
+    )
+
+    # ---------------- post-physics: derived tensors (_refresh_task_tensors)
+    progress = state.progress + 1
+    frame = state.frame + 1
+    fk2 = forward_kinematics(model, phys.q)
+    ftc_q2, ftc_t2 = site_pose(model, fk2, SITE_FINGERTIP_CENTERED)
+    hand_q2, hand_t2 = ftc_q2, ftc_t2
+    socket_tip = _socket_tip(state.params)
+    plug_tip = rot.translate_along_local_z(phys.plug_pos, phys.plug_quat, state.params.plug_length)
+
+    e = 0.9 if cfg.env.smooth_force else 0.0
+    tip_norms = jnp.linalg.norm(phys.tip_forces, axis=-1)
+    finger_forces_ema = (1 - e) * tip_norms + e * state.finger_forces_ema
+
+    # ---------------- observation staleness (compute_observations :753-820)
+    refresh = ((frame + state.plug_pose_refresh_offset) % state.plug_pose_refresh_rate) == 0
+    obs_plug_pos_freq = _where(refresh, phys.plug_pos, state.obs_plug_pos_freq)
+    obs_plug_quat_freq = _where(refresh, phys.plug_quat, state.obs_plug_quat_freq)
+    upd = jax.random.uniform(k_obs_delay, (n,)) > cfg.env.plug_obs_delay_prob
+    obs_plug_pos = _where(upd, obs_plug_pos_freq, state.obs_plug_pos)
+    obs_plug_quat = _where(upd, obs_plug_quat_freq, state.obs_plug_quat)
+
+    # ---------------- teacher/student obs (15 = eef pos 3 + rot6d 6 + actions 6)
+    eef_pos_rb, eef_quat_rb = world_to_robot_base(ftc_t2, ftc_q2)
+    obs = jnp.concatenate([eef_pos_rb, rot.quat_to_rot6d(eef_quat_rb), actions], axis=-1)
+    if cfg.randomize.domain_randomize:
+        obs = obs + cfg.randomize.obs_noise * jax.random.normal(k_obs_noise, obs.shape)
+    no = cfg.env.num_observations
+    obs_queue = jnp.concatenate([state.obs_queue[:, no:], obs], axis=-1)
+    obs_stud_queue = jnp.concatenate([state.obs_stud_queue[:, no:], obs], axis=-1)
+
+    # ---------------- priv state (64 = 50 state + 14 physics params)
+    ph_pos, ph_quat = _pose_in_frame(obs_plug_pos, obs_plug_quat, hand_t2, hand_q2)
+    sock_priv_noise = _sym_noise(k_sock, (n, 3), cfg.env.socket_priv_obs_noise)
+    plug_pos_err, plug_quat_err = ctrlmod.get_pose_error(
+        obs_plug_pos, obs_plug_quat, state.params.socket_pos + sock_priv_noise,
+        state.params.socket_quat, rot_error_type="quat",
+    )
+    from ..physics.robot import HAND_JOINT_IDX
+
+    hand_joints = phys.q[:, jnp.asarray(HAND_JOINT_IDX)]
+    priv = jnp.concatenate(
+        [
+            hand_joints,                        # 6
+            phys.q[:, :7],                      # 7 arm_dof_pos
+            phys.qd[:, :7],                     # 7 arm_dof_vel
+            socket_tip,                         # 3
+            state.params.socket_pos,            # 3
+            plug_tip,                           # 3
+            phys.plug_pos,                      # 3
+            phys.plug_quat,                     # 4
+            ph_pos,                             # 3
+            ph_quat,                            # 4
+            plug_pos_err,                       # 3
+            plug_quat_err,                      # 4
+            _physics_params_vec(cfg, state._replace(phys=phys)),  # 14
+        ],
+        axis=-1,
+    )
+
+    # ---------------- termination (_update_reset_buf :1160-1219)
+    success = _check_inserted(cfg, phys, state.params, socket_tip)
+    timeout = progress >= (cfg.rl.max_episode_length - 1)
+
+    eul = rot.euler_xyz_signed(phys.plug_quat)
+    degrasp = jnp.any(jnp.abs(eul) > 0.4, axis=-1)
+    far = jnp.linalg.norm(phys.plug_pos - state.params.socket_pos, axis=-1) > 0.3
+
+    reset = timeout
+    if cfg.reset_at_fails:
+        # env 0 always runs full episodes for logging (reference quirk, §8.5)
+        reset = reset | (degrasp & (jnp.arange(n) > 0))
+    tracker = state.progress_change_tracker + success.astype(jnp.int32)
+    if cfg.reset_at_success:
+        reset = reset | (tracker >= 100)
+
+    # ---------------- reward (_update_rew_buf :1107-1158)
+    rew, rew_terms = _compute_reward(
+        cfg, state, phys, actions, prev_actions, socket_tip, success, degrasp, far,
+    )
+    ep_reward = state.ep_reward + rew
+
+    extras = {
+        "successes": ((timeout | degrasp | far) & success).astype(jnp.float32),
+        "keypoint_reward": rew_terms["keypoint"],
+        "engagement_reward": rew_terms["engagement"],
+        "ori_reward": rew_terms["ori"],
+        "degrasp": degrasp.astype(jnp.float32),
+        "ep_reward": ep_reward,
+    }
+
+    new_state = state._replace(
+        phys=phys,
+        rng=rng,
+        progress=progress,
+        frame=frame,
+        global_step=state.global_step + 1,
+        actions=actions,
+        prev_actions=prev_actions,
+        actions_queue=queue,
+        targets=state.targets + jnp.concatenate([pos_actions, rot_actions], -1),
+        obs_queue=obs_queue,
+        obs_stud_queue=obs_stud_queue,
+        obs_plug_pos_freq=obs_plug_pos_freq,
+        obs_plug_quat_freq=obs_plug_quat_freq,
+        obs_plug_pos=obs_plug_pos,
+        obs_plug_quat=obs_plug_quat,
+        finger_forces_ema=finger_forces_ema,
+        rb_force=rbf,
+        reset_buf=reset,
+        success_reset_buf=success,
+        timeout_reset_buf=timeout | reset,
+        degrasp_buf=degrasp,
+        far_from_goal_buf=far,
+        progress_change_tracker=tracker,
+        ep_reward=ep_reward,
+    )
+    out = StepOutput(
+        obs=obs_queue,
+        student_obs=obs_stud_queue,
+        priv_info=priv,
+        rew=rew,
+        reset=reset,
+        timeout=timeout,
+        extras=extras,
+    )
+    return new_state, out
+
+
+def _check_close(cfg, phys, socket_tip):
+    return jnp.linalg.norm(phys.plug_pos[:, :2] - socket_tip[:, :2], axis=-1) < cfg.rl.close_error_thresh
+
+
+def _check_inserted(cfg, phys, params, socket_tip):
+    """_check_plug_inserted_in_socket (:2048-2074): below tip−5mm AND within 5mm XY."""
+    below = phys.plug_pos[:, 2] <= (socket_tip[:, 2] - cfg.rl.success_height_thresh)
+    return below & _check_close(cfg, phys, socket_tip)
+
+
+def _check_engaged(cfg, phys, socket_tip):
+    below = phys.plug_pos[:, 2] < socket_tip[:, 2]
+    return below & _check_close(cfg, phys, socket_tip)
+
+
+def _keypoint_offsets(num_keypoints):
+    return jnp.linspace(0.0, 1.0, num_keypoints)
+
+
+def _compute_reward(cfg, state, phys, actions, prev_actions, socket_tip, success, degrasp, far):
+    params = state.params
+    action_pen = jnp.linalg.norm(actions, axis=-1)
+    action_delta_pen = jnp.linalg.norm(actions - prev_actions, axis=-1)
+    ori_pen = jnp.linalg.norm(phys.plug_quat - params.socket_quat, axis=-1)
+
+    # keypoints along +z of plug/socket frames scaled by socket height
+    offs = _keypoint_offsets(cfg.rl.num_keypoints) * params.socket_height[:, None]  # [N, K]
+    kp_plug = phys.plug_pos[:, None, :] + rot.quat_apply(
+        phys.plug_quat[:, None, :], jnp.pad(offs[..., None], ((0, 0), (0, 0), (2, 0)))
+    )
+    kp_sock = params.socket_pos[:, None, :] + rot.quat_apply(
+        params.socket_quat[:, None, :], jnp.pad(offs[..., None], ((0, 0), (0, 0), (2, 0)))
+    )
+    keypoint_dist = jnp.sum(jnp.linalg.norm(kp_sock - kp_plug, axis=-1), axis=-1)
+    keypoint_rew = keypoint_dist * cfg.rl.keypoint_reward_scale
+
+    engaged = _check_engaged(cfg, phys, socket_tip)
+    height_dist = phys.plug_pos[:, 2] - params.socket_pos[:, 2]
+    height_rew = 1.0 / ((height_dist - cfg.rl.success_height_thresh) + 0.1)
+    quat_diff = rot.quat_mul(phys.plug_quat, rot.quat_conjugate(params.socket_quat))
+    rot_dist = 2.0 * jnp.arcsin(jnp.clip(jnp.linalg.norm(quat_diff[:, :3], axis=-1), 0.0, 1.0))
+    ori_engagement = 1.0 / (jnp.abs(rot_dist) + 0.1)
+    engagement = jnp.where(engaged, height_rew + ori_engagement, 0.0)
+    engagement_rew = engagement * cfg.rl.engagement_reward_scale
+
+    early_reset_rew = (far | degrasp).astype(jnp.float32) * cfg.rl.early_reset_reward_scale
+    ori_rew = ori_pen * cfg.rl.ori_reward_scale
+    succ_f = success.astype(jnp.float32)
+
+    rew = (
+        keypoint_rew
+        + engagement_rew
+        + ori_rew
+        + action_pen * cfg.rl.action_penalty_scale * succ_f
+        + action_delta_pen * cfg.rl.action_delta_scale * succ_f
+        + early_reset_rew
+    )
+    return rew, {"keypoint": keypoint_rew, "engagement": engagement_rew, "ori": ori_rew}

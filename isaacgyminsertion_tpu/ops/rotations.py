@@ -36,27 +36,75 @@ def quat_conjugate(q: jax.Array) -> jax.Array:
     return jnp.concatenate([-q[..., :3], q[..., 3:4]], axis=-1)
 
 
+# Structure tensors: quaternion algebra as bilinear einsums. Slice-and-stack
+# formulations chain into exponentially-duplicating XLA fusions (a deep
+# quat_mul chain compiled AND ran thousands of times slower on XLA:CPU);
+# einsum contractions keep each product one dot-general and map onto the MXU
+# for large batches.
+
+
+def _quat_mul_tensor() -> jnp.ndarray:
+    """M[i,j,k] with (a⊗b)_k = a_i b_j M[i,j,k] (xyzw Hamilton product)."""
+    import numpy as np
+
+    M = np.zeros((4, 4, 4), np.float32)
+    x, y, z, w = 0, 1, 2, 3
+    for i, j, k, s in [
+        (w, x, x, 1), (x, w, x, 1), (y, z, x, 1), (z, y, x, -1),
+        (w, y, y, 1), (x, z, y, -1), (y, w, y, 1), (z, x, y, 1),
+        (w, z, z, 1), (x, y, z, 1), (y, x, z, -1), (z, w, z, 1),
+        (w, w, w, 1), (x, x, w, -1), (y, y, w, -1), (z, z, w, -1),
+    ]:
+        M[i, j, k] += s
+    return jnp.asarray(M)
+
+
+_QMUL = _quat_mul_tensor()
+
+
+def _quat_rot_tensor() -> jnp.ndarray:
+    """T[i,j,l,k] with (R(q) v)_k = q_i q_j v_l T[i,j,l,k] for unit q."""
+    import numpy as np
+
+    T = np.zeros((4, 4, 3, 3), np.float32)
+    x, y, z, w = 0, 1, 2, 3
+    # R = (w^2 - s.s) I + 2 s s^T + 2 w [s]_x   (s = xyz)
+    for l in range(3):
+        T[w, w, l, l] += 1.0
+        for s_ in (x, y, z):
+            T[s_, s_, l, l] -= 1.0
+    for a in range(3):
+        for b in range(3):
+            T[a, b, b, a] += 2.0
+    # 2 w (s × v)_k = 2 w ε_{kal} s_a v_l ; qq is symmetrized so split w–s
+    # weight evenly over T[w,a] and T[a,w]
+    eps3 = np.zeros((3, 3, 3))
+    eps3[0, 1, 2] = eps3[1, 2, 0] = eps3[2, 0, 1] = 1.0
+    eps3[0, 2, 1] = eps3[2, 1, 0] = eps3[1, 0, 2] = -1.0
+    for k in range(3):
+        for a in range(3):
+            for l in range(3):
+                T[w, a, l, k] += 1.0 * eps3[k, a, l]
+                T[a, w, l, k] += 1.0 * eps3[k, a, l]
+    return jnp.asarray(T)
+
+
+_QROT = _quat_rot_tensor()
+
+
 def quat_mul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Hamilton product a*b, xyzw layout."""
-    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
-    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    return jnp.stack(
-        [
-            aw * bx + ax * bw + ay * bz - az * by,
-            aw * by - ax * bz + ay * bw + az * bx,
-            aw * bz + ax * by - ay * bx + az * bw,
-            aw * bw - ax * bx - ay * by - az * bz,
-        ],
-        axis=-1,
-    )
+    """Hamilton product a*b, xyzw layout (bilinear einsum)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    return jnp.einsum("...i,...j,ijk->...k", a, b, _QMUL.astype(a.dtype))
 
 
 def quat_apply(q: jax.Array, v: jax.Array) -> jax.Array:
-    """Rotate vector(s) v by quaternion(s) q."""
-    xyz = q[..., :3]
-    w = q[..., 3:4]
-    t = 2.0 * jnp.cross(xyz, v)
-    return v + w * t + jnp.cross(xyz, t)
+    """Rotate vector(s) v by unit quaternion(s) q (quadratic-form einsum)."""
+    batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
+    qb = jnp.broadcast_to(q, batch + (4,))
+    vb = jnp.broadcast_to(v, batch + (3,))
+    qq = qb[..., :, None] * qb[..., None, :]  # [..., 4, 4]
+    return jnp.einsum("...ij,...l,ijlk->...k", qq, vb, _QROT.astype(v.dtype))
 
 
 def quat_rotate_inverse(q: jax.Array, v: jax.Array) -> jax.Array:

@@ -84,10 +84,14 @@ def _sd_segment(p: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def sd_trapezoid(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
-    """Isosceles trapezoid: bottom half-width hx at y=-hy, top TRAPEZOID_TOP_RATIO*hx at y=+hy."""
+    """Isosceles trapezoid, **centroid-centered**: bottom half-width hx, top
+    TRAPEZOID_TOP_RATIO*hx, height 2*hy. Centroid at the origin so the plug
+    com sits on the extrusion axis (engine assumes com = (0, 0, com_z))."""
     r1, r2, he = hx, TRAPEZOID_TOP_RATIO * hx, hy
     px = jnp.abs(p[..., 0])
-    py = p[..., 1]
+    # centroid height from mid-plane: ȳ = (h/3)(b+2t)/(b+t) − h/2 with b=2hx, t=2r2
+    y_c = 2.0 * hy * (r1 + 2.0 * r2) / (3.0 * (r1 + r2)) - hy
+    py = p[..., 1] + y_c
     k1 = jnp.stack([r2, he], axis=-1)
     k2 = jnp.stack([r2 - r1, 2.0 * he], axis=-1)
     pq = jnp.stack([px, py], axis=-1)
@@ -102,10 +106,12 @@ def sd_trapezoid(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
 
 
 def sd_triangle_iso(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
-    """Isosceles triangle: base 2*hx at y=-hy, apex (0, +hy). Exact (point-segment)."""
-    a = jnp.stack([-hx, -hy], axis=-1)
-    b = jnp.stack([hx, -hy], axis=-1)
-    c = jnp.stack([jnp.zeros_like(hx), hy], axis=-1)
+    """Isosceles triangle, **centroid-centered**: base 2*hx, height 2*hy
+    (base at y=-2hy/3, apex at y=+4hy/3). Exact (point-segment)."""
+    y0 = -2.0 * hy / 3.0
+    a = jnp.stack([-hx, y0], axis=-1)
+    b = jnp.stack([hx, y0], axis=-1)
+    c = jnp.stack([jnp.zeros_like(hx), y0 + 2.0 * hy], axis=-1)
     d = jnp.minimum(jnp.minimum(_sd_segment(p, a, b), _sd_segment(p, b, c)), _sd_segment(p, c, a))
     # inside test via half-plane signs (CCW triangle)
     def edge(e0, e1):

@@ -1,0 +1,155 @@
+"""Batched contact generation against analytic SDFs (pure JAX).
+
+Replaces PhysX SDF-mesh collision (SURVEY.md §2.9: `print_sdf_warning`,
+factory_base.py:566-576). Produces kinematic contact data (point, normal,
+depth, other-body velocity) for the velocity-level impulse solver
+(physics/solver.py); no forces are computed here.
+
+Contact sources, fixed shapes per env:
+  - plug surface sample points (assets.sample_plug_surface) vs the socket SDF
+    evaluated in the socket frame — one fused [N, P] SDF + gradient pass.
+  - the same points vs the table halfspace.
+  - 3 fingertip pads (spheres of AllSight gel radius) vs the plug SDF — the
+    OpenHand pad is compliant gel, so a sphere-point contact is the honest
+    model; reaction impulses feed back into the articulation as joint torques.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rotations as rot
+from ..ops import sdf as sdfm
+from .solver import ContactSet
+
+FINGERTIP_RADIUS = 0.0145  # AllSight gel hemisphere radius
+GEL_STIFFNESS = 3500.0  # N/m — ~10 N at the 3 mm working indentation; the
+                        # tactile model maps force range [0, 10] N over
+                        # max_deformation 0.01 m (tacto renderer.py:560-603)
+
+
+class MaterialParams(NamedTuple):
+    """Per-env friction coefficients (pair-combined, PhysX average-mode)."""
+
+    mu_socket: jax.Array   # plug↔socket
+    mu_table: jax.Array    # plug↔table
+    mu_finger: jax.Array   # fingertip↔plug
+
+
+def default_materials(dtype=jnp.float32) -> MaterialParams:
+    f = lambda v: jnp.asarray(v, dtype)
+    return MaterialParams(mu_socket=f(0.5), mu_table=f(0.3), mu_finger=f(0.99))
+
+
+def plug_env_contacts(
+    points_plug: jax.Array,      # [N, P, 3] sample points, plug frame
+    point_weights: jax.Array,    # [N, P] balanced pressure-prior weights
+    plug_q: jax.Array,           # [N, 4]
+    plug_pos: jax.Array,         # [N, 3] plug base-origin position (world)
+    plug_com_w: jax.Array,       # [N, 3]
+    socket_q: jax.Array,
+    socket_pos: jax.Array,
+    kind_onehot: jax.Array,
+    hole_hx: jax.Array,
+    hole_hy: jax.Array,
+    socket_height: jax.Array,
+    table_height: jax.Array,
+    mat: MaterialParams,
+) -> ContactSet:
+    """Socket-SDF + table contacts at the P plug surface points → [N, 2P]."""
+    dtype = plug_pos.dtype
+    p_w = plug_pos[..., None, :] + rot.quat_apply(plug_q[..., None, :], points_plug)
+    r = p_w - plug_com_w[..., None, :]
+
+    # ---- socket SDF (socket frame)
+    inv_q, inv_t = rot.tf_inverse(socket_q, socket_pos)
+    p_s = inv_t[..., None, :] + rot.quat_apply(inv_q[..., None, :], p_w)
+
+    from ..assets import SOCKET_PLATE_HX, SOCKET_PLATE_HY
+
+    def sock_sdf(ps):
+        return sdfm.socket_sdf(
+            ps, kind_onehot[..., None, :], hole_hx[..., None], hole_hy[..., None],
+            socket_height[..., None],
+            jnp.asarray(SOCKET_PLATE_HX, dtype), jnp.asarray(SOCKET_PLATE_HY, dtype),
+        )
+
+    d_s, pullback = jax.vjp(sock_sdf, p_s)
+    (grad_s,) = pullback(jnp.ones_like(d_s))
+    n_local = grad_s / jnp.linalg.norm(grad_s, axis=-1, keepdims=True).clip(1e-9)
+    n_s = rot.quat_apply(socket_q[..., None, :], n_local)  # pushes plug out of socket
+
+    shape = d_s.shape
+    zero_v = jnp.zeros_like(p_w)
+    w_pts = jnp.broadcast_to(point_weights, shape)
+    cs_socket = ContactSet(
+        r=r, n=n_s, depth=-d_s, v_other=zero_v,
+        mu=jnp.broadcast_to(mat.mu_socket[..., None], shape),
+        weight=w_pts,
+        stiffness=jnp.zeros(shape, dtype),
+    )
+
+    # ---- table halfspace z >= table_height
+    n_t = jnp.zeros_like(p_w).at[..., 2].set(1.0)
+    cs_table = ContactSet(
+        r=r, n=n_t, depth=table_height[..., None] - p_w[..., 2], v_other=zero_v,
+        mu=jnp.broadcast_to(mat.mu_table[..., None], shape),
+        weight=w_pts,
+        stiffness=jnp.zeros(shape, dtype),
+    )
+    return concat_contacts(cs_socket, cs_table)
+
+
+class FingerContactAux(NamedTuple):
+    contact_point: jax.Array  # [N, F, 3] world
+    normal: jax.Array         # [N, F, 3] push-direction on the plug
+
+
+def fingertip_plug_contacts(
+    tip_pos: jax.Array,       # [N, F, 3] pad centers (world)
+    tip_vel: jax.Array,       # [N, F, 3]
+    plug_q: jax.Array,
+    plug_pos: jax.Array,
+    plug_com_w: jax.Array,
+    kind_onehot: jax.Array,
+    plug_hx: jax.Array,
+    plug_hy: jax.Array,
+    plug_length: jax.Array,
+    mat: MaterialParams,
+    radius: float = FINGERTIP_RADIUS,
+) -> tuple[ContactSet, FingerContactAux]:
+    """Sphere-pad vs plug-SDF contacts → [N, F] contact set."""
+    inv_q, inv_t = rot.tf_inverse(plug_q, plug_pos)
+    tip_local = inv_t[..., None, :] + rot.quat_apply(inv_q[..., None, :], tip_pos)
+
+    def psdf(pl):
+        return sdfm.plug_sdf(
+            pl, kind_onehot[..., None, :], plug_hx[..., None], plug_hy[..., None],
+            plug_length[..., None],
+        )
+
+    d, pullback = jax.vjp(psdf, tip_local)
+    (g,) = pullback(jnp.ones_like(d))
+    out_local = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
+    out_w = rot.quat_apply(plug_q[..., None, :], out_local)  # plug outward normal at pad
+
+    contact_pt = tip_pos - out_w * jnp.minimum(d, radius)[..., None]
+    r = contact_pt - plug_com_w[..., None, :]
+    cs = ContactSet(
+        r=r,
+        n=-out_w,                       # pad pushes the plug inward along −outward
+        depth=radius - d,
+        v_other=tip_vel,
+        mu=jnp.broadcast_to(mat.mu_finger[..., None], d.shape),
+        weight=jnp.ones_like(d),
+        stiffness=jnp.full_like(d, GEL_STIFFNESS),
+    )
+    return cs, FingerContactAux(contact_point=contact_pt, normal=-out_w)
+
+
+def concat_contacts(*sets: ContactSet) -> ContactSet:
+    return ContactSet(*[jnp.concatenate(parts, axis=-2 if parts[0].ndim >= 3 else -1)
+                        for parts in zip(*sets)])

@@ -45,7 +45,10 @@ class RobotModel(NamedTuple):
     com: np.ndarray           # [nd, 3] body com in joint frame
     inertia: np.ndarray       # [nd, 3, 3] rotational inertia about com, joint frame
     armature: np.ndarray      # [nd]
-    damping: np.ndarray       # [nd] joint damping
+    damping: np.ndarray       # [nd] passive joint damping — 0: IsaacGym DOF-prop
+                              # damping REPLACES URDF damping and the reference sets it
+                              # to the PD deriv gain (factory_base.py:489-498), which
+                              # implicit_pd_step already applies as kd
     dof_lower: np.ndarray     # [nd]
     dof_upper: np.ndarray     # [nd]
     effort_limit: np.ndarray  # [nd]
@@ -155,7 +158,7 @@ def build_kuka_openhand(armature: float = 0.01) -> RobotModel:
     def arm(parent, t, rpy, lo, hi, m, com, I):
         joints.append(
             dict(parent=parent, t=np.asarray(t, float), q=_rpy_to_quat(*rpy), axis=np.array([0.0, 0.0, 1.0]),
-                 parts=[(m, com, I, ident, np.zeros(3))], damping=0.5, lo=lo, hi=hi, effort=300.0, vel=2.0)
+                 parts=[(m, com, I, ident, np.zeros(3))], damping=0.0, lo=lo, hi=hi, effort=300.0, vel=2.0)
         )
 
     # iiwa7 arm (joint origins/limits and link inertials: factory_kuka.urdf)
@@ -187,7 +190,7 @@ def build_kuka_openhand(armature: float = 0.01) -> RobotModel:
         joints.append(
             dict(parent=6, t=t, q=q, axis=np.array([1.0, 0.0, 0.0]),
                  parts=[(0.05, [0, 0, 0], small_I, ident, np.zeros(3))],
-                 damping=10.0, lo=lo, hi=hi, effort=3.0, vel=2.0)
+                 damping=0.0, lo=lo, hi=hi, effort=3.0, vel=2.0)
         )
 
     def finger_link(parent, t, rpy, axis, lo, hi, with_mount=False):
@@ -196,7 +199,7 @@ def build_kuka_openhand(armature: float = 0.01) -> RobotModel:
             parts.append((0.05, [0, 0, 0], small_I, mount_tip_q, mount_tip_t))
         joints.append(
             dict(parent=parent, t=np.asarray(t, float), q=_rpy_to_quat(*rpy), axis=np.asarray(axis, float),
-                 parts=parts, damping=10.0, lo=lo, hi=hi, effort=3.0, vel=2.0)
+                 parts=parts, damping=0.0, lo=lo, hi=hi, effort=3.0, vel=2.0)
         )
 
     # finger 1 (left): bodies 7, 8, 9
@@ -213,7 +216,7 @@ def build_kuka_openhand(armature: float = 0.01) -> RobotModel:
     joints.append(
         dict(parent=6, t=t, q=q, axis=np.array([0.0, 0.0, 1.0]),
              parts=[(0.05, [0, 0, 0], small_I, ident, np.zeros(3))],
-             damping=10.0, lo=-0.1, hi=3.0, effort=3.0, vel=2.0)
+             damping=0.0, lo=-0.1, hi=3.0, effort=3.0, vel=2.0)
     )
     finger_link(13, [0.0008, 0.063, 0], (0, 0, PI / 2), [0, 0, 1], 0.0, 1.27, with_mount=True)
 
@@ -241,8 +244,10 @@ def build_kuka_openhand(armature: float = 0.01) -> RobotModel:
 
     # sites
     site_body = np.array([6, 9, 12, 14], np.int32)
-    # fingertip_centered: link7 -> dummy_ft [0,0,0.11] -> ee [0,-0.01,0.23]
-    ftc_t = np.array([0.0, -0.01, 0.34])
+    # fingertip_centered (kuka_fingertip_centered frame): on the tool axis at
+    # the centroid of the three fingertip pads in the closed-hand pose
+    # (computed from this model's FK; grasp/motion frame of factory_base)
+    ftc_t = np.array([0.0, 0.0017, 0.2827])
     site_t = np.stack([ftc_t, mount_tip_t, mount_tip_t, mount_tip_t]).astype(np.float32)
     site_q = np.stack([ident, mount_tip_q, mount_tip_q, mount_tip_q]).astype(np.float32)
 

@@ -16,7 +16,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-if not os.environ.get("IGT_TEST_TPU"):
-    import jax
+import jax
 
+if not os.environ.get("IGT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+
+# XLA:CPU compiles these graphs slowly (~10s for even small FK graphs); a
+# persistent on-disk cache makes test re-runs and iterating cheap.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
