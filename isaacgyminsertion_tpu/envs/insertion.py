@@ -41,6 +41,10 @@ from ..physics.robot import (
     SITE_FINGERTIP_CENTERED,
     RobotModel,
 )
+from ..sensors import camera as cam_mod
+from ..sensors import contact_gt as cgt_mod
+from ..sensors import pcl as pcl_mod
+from ..sensors import tactile as tact_mod
 from .config import TaskConfig
 
 ACTION_QUEUE_LEN = 16  # action_latency_max 15 + current (FactoryTaskInsertionTactile.yaml:61)
@@ -85,6 +89,16 @@ class EnvState(NamedTuple):
     far_from_goal_buf: jax.Array   # [N] bool
     progress_change_tracker: jax.Array  # [N] i32 (reset_at_success counter)
     ep_reward: jax.Array           # [N] running episode reward
+    # sensor FIFO queues (zero-sized [N, 0] when the modality is off)
+    tactile_queue: jax.Array       # [N, Th, F, H, W, C]
+    img_queue: jax.Array           # [N, Ih, H, W]
+    seg_queue: jax.Array           # [N, Ih, H, W] (float of int ids)
+    pcl_queue: jax.Array           # [N, Ih, P, 3]
+    contact_queue: jax.Array       # [N, Ch, P]
+    tactile_refresh_rate: jax.Array    # [N] i32
+    tactile_refresh_offset: jax.Array  # [N] i32
+    img_refresh_rate: jax.Array        # [N] i32
+    img_refresh_offset: jax.Array      # [N] i32
 
 
 class StepOutput(NamedTuple):
@@ -95,6 +109,13 @@ class StepOutput(NamedTuple):
     reset: jax.Array          # [N] bool
     timeout: jax.Array        # [N] bool
     extras: dict[str, jax.Array]
+    # sensor modalities (obs_dict augmentation, factory_task_insertion.py:
+    # 2126-2144); zero-sized arrays when the modality is off
+    tactile: jax.Array        # [N, Th, F, H, W, C]
+    img: jax.Array            # [N, Ih, H, W]
+    seg: jax.Array            # [N, Ih, H, W]
+    pcl: jax.Array            # [N, Ih, P, 3]
+    contacts: jax.Array       # [N, Ch, P]
 
 
 # --------------------------------------------------------------------------- #
@@ -133,6 +154,37 @@ def world_to_robot_base(pos, quat):
 # --------------------------------------------------------------------------- #
 # reset
 # --------------------------------------------------------------------------- #
+
+_NOMINAL_IK_CACHE: dict = {}
+
+
+def nominal_grasp_arm_q(model: RobotModel, target=(0.5, 0.0, 0.175)) -> "jnp.ndarray":
+    """Host-side IK for the nominal reset pose: fingertip_centered over the
+    socket with the tool axis down (fingertip_midpoint_rot_initial is the
+    orientation the initial arm pose already realizes). Cached per model.
+
+    The reference gets reset arm poses from recorded grasp datasets
+    (factory_task_insertion.py:1223-1241); we solve the same pose analytically
+    (nominal here + per-env in-graph refinement in _sample_episode).
+    """
+    key = (id(model), tuple(round(t, 4) for t in target))
+    if key in _NOMINAL_IK_CACHE:
+        return _NOMINAL_IK_CACHE[key]
+    import numpy as np
+
+    q = jnp.asarray((0.0064, 0.2375, -0.0075, -1.2022, 0.0015, 1.69, -1.5699))
+    q = jnp.concatenate([q, jnp.zeros(8)])[None]
+    tgt = jnp.asarray(target)[None]
+    for _ in range(30):
+        fk = forward_kinematics(model, q)
+        fq, ft = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+        J = point_jacobian(model, fk, ft, 6)[..., :7]
+        err = jnp.concatenate([tgt - ft, jnp.zeros((1, 3))], axis=-1)
+        dq = ctrlmod._get_delta_dof_pos(err, J, "dls")
+        q = q.at[:, :7].add(jnp.clip(dq, -0.2, 0.2))
+    out = np.asarray(q[0, :7])
+    _NOMINAL_IK_CACHE[key] = out
+    return out
 
 
 def _gather_shape_rows(subs: SubassemblySet, sub_idx: jax.Array) -> dict:
@@ -177,9 +229,21 @@ def _sample_episode(
     sock_eul = _sym_noise(keys[2], (n, 3), rz.socket_rot_euler_noise)
     socket_quat = rot.quat_from_euler_xyz(sock_eul[..., 0], sock_eul[..., 1], sock_eul[..., 2])
 
-    # ---- robot dofs: arm initial + openhand closed-with-noise
+    # ---- robot dofs: IK-placed arm + openhand closed-with-noise.
+    # The reference resets from recorded grasp datasets whose rows put the
+    # grasped plug base U[0.05, 0.08] m above the socket
+    # (plug_pos_z_noise_bounds); we reproduce that pose analytically: nominal
+    # host-side IK + 3 in-graph dls refinements toward the per-env target.
     oh = cfg.env.openhand
-    q_arm = jnp.tile(jnp.asarray(rz.kuka_arm_initial_dof_pos, jnp.float32), (n, 1))
+    grip_depth = rows["plug_length"] * 0.8
+    plug_base_z = sock_z + rows["socket_height"] + _uniform(
+        keys[10], (n,), float(rz.plug_pos_z_noise_bounds[0]), float(rz.plug_pos_z_noise_bounds[1])
+    )
+    plug_xy = sock_xy + _sym_noise(keys[11], (n, 2), rz.plug_pos_xy_noise)
+    ftc_target = jnp.concatenate(
+        [plug_xy, (plug_base_z + grip_depth)[:, None]], axis=-1
+    )
+    q_arm = jnp.tile(jnp.asarray(nominal_grasp_arm_q(model), jnp.float32), (n, 1))
     prox = oh.proximal_close + _sym_noise(keys[3], (n, 3), oh.proximal_noise)
     dist = oh.distal_close + _sym_noise(keys[4], (n, 3), oh.distal_noise)
     base = jnp.full((n, 1), oh.base_angle)
@@ -188,6 +252,13 @@ def _sample_episode(
         axis=-1,
     )
     q = jnp.concatenate([q_arm, q_hand], axis=-1)
+    for _ in range(3):  # per-env IK refinement (position only)
+        fk = forward_kinematics(model, q)
+        fq_i, ft_i = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+        J = point_jacobian(model, fk, ft_i, 6)[..., :7]
+        err = jnp.concatenate([ftc_target - ft_i, jnp.zeros((n, 3))], axis=-1)
+        dq = ctrlmod._get_delta_dof_pos(err, J, "dls")
+        q = q.at[:, :7].add(jnp.clip(dq, -0.2, 0.2))
 
     # ---- plug pose: grasped below the fingertip-centered frame
     fk = forward_kinematics(model, q)
@@ -263,6 +334,28 @@ def _sample_episode(
     return phys, params, aux
 
 
+def _sensor_queue_shapes(cfg: TaskConfig, subs: SubassemblySet, n: int) -> dict:
+    e = cfg.env
+    tcfg = tact_mod.TactileConfig()
+    ccfg = cam_mod.CameraConfig()
+    z = lambda *shape: jnp.zeros(shape, jnp.float32)
+    n_pcl = (e.num_points if e.include_plug_pcl else 0) + \
+            (e.num_points_socket if e.merge_socket_pcl else 0) + \
+            (e.num_points_goal if e.merge_goal_pcl else 0)
+    return dict(
+        tactile_queue=z(n, e.tactile_history_len, 3, tcfg.height, tcfg.width,
+                        tcfg.num_channels) if e.tactile else z(n, 0),
+        img_queue=z(n, e.img_history_len, ccfg.height, ccfg.width)
+        if (e.external_cam and e.depth_cam) else z(n, 0),
+        seg_queue=z(n, e.img_history_len, ccfg.height, ccfg.width)
+        if (e.external_cam and e.seg_cam) else z(n, 0),
+        pcl_queue=z(n, e.img_history_len, n_pcl, 3)
+        if (e.external_cam and e.pcl_cam) else z(n, 0),
+        contact_queue=z(n, e.ft_history_len, subs.dense_points.shape[1])
+        if e.compute_contact_gt else z(n, 0),
+    )
+
+
 def reset_all(
     cfg: TaskConfig,
     model: RobotModel,
@@ -316,6 +409,11 @@ def reset_all(
         far_from_goal_buf=jnp.zeros((n,), bool),
         progress_change_tracker=jnp.zeros((n,), jnp.int32),
         ep_reward=jnp.zeros((n,), jnp.float32),
+        **_sensor_queue_shapes(cfg, subs, n),
+        tactile_refresh_rate=jax.random.randint(k_rate, (n,), 1, cfg.env.max_skip_tactile + 1),
+        tactile_refresh_offset=jax.random.randint(k_off, (n,), 0, cfg.env.max_skip_tactile),
+        img_refresh_rate=jax.random.randint(k_rate, (n,), 1, cfg.env.max_skip_img + 1),
+        img_refresh_offset=jax.random.randint(k_off, (n,), 0, cfg.env.max_skip_img),
     )
     return state
 
@@ -390,6 +488,28 @@ def _reset_idx(cfg, model, subs, state: EnvState, mask: jax.Array, key: jax.Arra
         far_from_goal_buf=jnp.where(mask, False, state.far_from_goal_buf),
         progress_change_tracker=jnp.where(mask, 0, state.progress_change_tracker),
         ep_reward=jnp.where(mask, 0.0, state.ep_reward),
+        tactile_queue=_where(mask, jnp.zeros_like(state.tactile_queue), state.tactile_queue)
+        if state.tactile_queue.size else state.tactile_queue,
+        img_queue=_where(mask, jnp.zeros_like(state.img_queue), state.img_queue)
+        if state.img_queue.size else state.img_queue,
+        seg_queue=_where(mask, jnp.zeros_like(state.seg_queue), state.seg_queue)
+        if state.seg_queue.size else state.seg_queue,
+        pcl_queue=_where(mask, jnp.zeros_like(state.pcl_queue), state.pcl_queue)
+        if state.pcl_queue.size else state.pcl_queue,
+        contact_queue=_where(mask, jnp.zeros_like(state.contact_queue), state.contact_queue)
+        if state.contact_queue.size else state.contact_queue,
+        tactile_refresh_rate=jnp.where(
+            mask, jax.random.randint(k_rate, (n,), 1, cfg.env.max_skip_tactile + 1),
+            state.tactile_refresh_rate),
+        tactile_refresh_offset=jnp.where(
+            mask, jax.random.randint(k_off, (n,), 0, cfg.env.max_skip_tactile),
+            state.tactile_refresh_offset),
+        img_refresh_rate=jnp.where(
+            mask, jax.random.randint(k_rate, (n,), 1, cfg.env.max_skip_img + 1),
+            state.img_refresh_rate),
+        img_refresh_offset=jnp.where(
+            mask, jax.random.randint(k_off, (n,), 0, cfg.env.max_skip_img),
+            state.img_refresh_offset),
     )
 
 
@@ -471,9 +591,8 @@ def step(
 ) -> tuple[EnvState, StepOutput]:
     """One control step of the full env batch. Pure; jit/scan/shard_map-safe."""
     n = policy_actions.shape[0]
-    rng, k_reset, k_lat_delay, k_scale, k_sock, k_obs_delay, k_obs_noise, k_act_noise, k_force = (
-        jax.random.split(state.rng, 9)
-    )
+    (rng, k_reset, k_lat_delay, k_scale, k_sock, k_obs_delay, k_obs_noise,
+     k_act_noise, k_force, k_tact, k_img, k_pcl, k_cgt) = jax.random.split(state.rng, 13)
 
     # ---------------- pre-physics: reset done envs (vec_task.step → pre_physics)
     state = _reset_idx(cfg, model, subs, state, state.reset_buf, k_reset)
@@ -557,6 +676,81 @@ def step(
     e = 0.9 if cfg.env.smooth_force else 0.0
     tip_norms = jnp.linalg.norm(phys.tip_forces, axis=-1)
     finger_forces_ema = (1 - e) * tip_norms + e * state.finger_forces_ema
+
+    # ---------------- sensor modalities (decimation + delay, :862-887)
+    tactile_queue = state.tactile_queue
+    img_queue, seg_queue, pcl_queue = state.img_queue, state.seg_queue, state.pcl_queue
+    contact_queue = state.contact_queue
+    if cfg.env.tactile:
+        kt1, kt2 = jax.random.split(k_tact)
+        t_refresh = ((frame + state.tactile_refresh_offset) % state.tactile_refresh_rate) == 0
+        t_upd = t_refresh & (jax.random.uniform(kt1, (n,)) > cfg.env.tactile_delay_prob)
+        tip_q3, tip_t3 = engine.fingertip_poses(model, fk2)
+        tcfg = tact_mod.TactileConfig()
+        timg = tact_mod.render_tactile(
+            tcfg, tip_q3, tip_t3, phys.plug_quat, phys.plug_pos,
+            state.params.kind_onehot, state.params.plug_hx, state.params.plug_hy,
+            state.params.plug_length, finger_forces_ema, noise_key=kt2,
+            noise_std=0.01,
+        )
+        latest = _where(t_upd, timg, state.tactile_queue[:, 0])
+        tactile_queue = jnp.concatenate(
+            [latest[:, None], state.tactile_queue[:, :-1]], axis=1
+        )
+    if cfg.env.external_cam:
+        ki1, ki2, ki3, ki4 = jax.random.split(k_img, 4)
+        ccfg = cam_mod.CameraConfig()
+        depth_n, seg_im, depth_raw = cam_mod.render_depth_seg(
+            ccfg, phys.plug_quat, phys.plug_pos, state.params.socket_quat,
+            state.params.socket_pos, state.params.kind_onehot, state.params.plug_hx,
+            state.params.plug_hy, state.params.plug_length, state.params.hole_hx,
+            state.params.hole_hy, state.params.socket_height, state.params.table_height,
+            noise_key=ki1,
+        )
+        i_refresh = ((frame + state.img_refresh_offset) % state.img_refresh_rate) == 0
+        initial = progress < 10
+        i_upd = i_refresh & (initial | (jax.random.uniform(ki2, (n,)) > cfg.env.img_delay_prob))
+        s_upd = i_refresh & (initial | (jax.random.uniform(ki3, (n,)) > cfg.env.seg_delay_prob))
+        if cfg.env.depth_cam:
+            latest_img = _where(i_upd, depth_n, state.img_queue[:, 0])
+            img_queue = jnp.concatenate([latest_img[:, None], state.img_queue[:, :-1]], axis=1)
+        if cfg.env.seg_cam:
+            kns, knp = jax.random.split(ki4)
+            seg_noisy = jnp.where(
+                (~initial & (jax.random.uniform(kns, (n,)) > 1 - cfg.env.seg_prob_noise))[:, None, None],
+                cam_mod.seg_noise(seg_im, kns, cfg.env.seg_prob_noise), seg_im,
+            ).astype(jnp.float32)
+            latest_seg = _where(s_upd, seg_noisy, state.seg_queue[:, 0])
+            seg_queue = jnp.concatenate([latest_seg[:, None], state.seg_queue[:, :-1]], axis=1)
+        if cfg.env.pcl_cam:
+            kp1, kp2 = jax.random.split(k_pcl)
+            dense = jnp.asarray(subs.dense_points)[state.sub_idx]
+            goal_pts = state.params.socket_pos[:, None, :] + rot.quat_apply(
+                state.params.socket_quat[:, None, :], dense
+            )
+            merged = pcl_mod.assemble_scene_pcl(
+                ccfg, depth_raw, seg_im, goal_pts, kp1,
+                num_plug=cfg.env.num_points, num_socket=cfg.env.num_points_socket,
+                num_goal=cfg.env.num_points_goal,
+                include_plug=cfg.env.include_plug_pcl,
+                merge_socket=cfg.env.merge_socket_pcl,
+                merge_goal=cfg.env.merge_goal_pcl,
+                include_all=cfg.env.include_all_pcl,
+            )
+            p_noise_on = ~initial & (jax.random.uniform(kp2, (n,)) > 1 - cfg.env.pcl_prob_noise)
+            merged = pcl_mod.augment_pcl(merged, kp2, pcl_mod.PclAugmentConfig(), p_noise_on)
+            latest_pcl = _where(i_upd, merged, state.pcl_queue[:, 0])
+            pcl_queue = jnp.concatenate([latest_pcl[:, None], state.pcl_queue[:, :-1]], axis=1)
+    if cfg.env.compute_contact_gt:
+        dense = jnp.asarray(subs.dense_points)[state.sub_idx]
+        contacts = cgt_mod.extrinsic_contact(
+            dense, phys.plug_quat, phys.plug_pos, state.params.socket_quat,
+            state.params.socket_pos, state.params.kind_onehot, state.params.hole_hx,
+            state.params.hole_hy, state.params.socket_height, k_cgt,
+        )
+        contact_queue = jnp.concatenate(
+            [contacts[:, None], state.contact_queue[:, :-1]], axis=1
+        )
 
     # ---------------- observation staleness (compute_observations :753-820)
     refresh = ((frame + state.plug_pose_refresh_offset) % state.plug_pose_refresh_rate) == 0
@@ -653,6 +847,11 @@ def step(
         obs_plug_quat=obs_plug_quat,
         finger_forces_ema=finger_forces_ema,
         rb_force=rbf,
+        tactile_queue=tactile_queue,
+        img_queue=img_queue,
+        seg_queue=seg_queue,
+        pcl_queue=pcl_queue,
+        contact_queue=contact_queue,
         reset_buf=reset,
         success_reset_buf=success,
         timeout_reset_buf=timeout | reset,
@@ -669,6 +868,11 @@ def step(
         reset=reset,
         timeout=timeout,
         extras=extras,
+        tactile=tactile_queue,
+        img=img_queue,
+        seg=seg_queue,
+        pcl=pcl_queue,
+        contacts=contact_queue,
     )
     return new_state, out
 

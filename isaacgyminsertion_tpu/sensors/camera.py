@@ -1,0 +1,137 @@
+"""External depth + segmentation camera — batched SDF ray-march (pure JAX).
+
+Replaces the IsaacGym camera sensors (factory_env_insertion.py:940-1003
+external cam; task pipeline factory_task_insertion.py:896-1056) with an
+XLA render pass: one ray-march over [N, H, W] pixels against the analytic
+scene SDFs (plug, socket, table). Produces:
+
+  depth [N, H, W]  — processed like DepthImageProcessor.process_depth_image
+                     (factory_utils.py:55-72): noise, clip to [near, far],
+                     normalize by −far
+  seg   [N, H, W]  — segmentation ids (table 0, plug 2, socket 3 — actor
+                     creation order, factory_env_insertion.py:814-848; the
+                     kuka body (id 1) is above the 0.5 m far clip in the
+                     default view and the student masks to {2,3} anyway,
+                     ext_adapt.py:391-402)
+
+Default intrinsics/pose follow FactoryEnvInsertionTactile.yaml external_cam
+(96×54, real-calibrated pose) and FactoryTaskInsertionTactile.yaml
+external_cam (near 0.1, far 0.5, dis_noise 0.001).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..assets import SOCKET_PLATE_HX, SOCKET_PLATE_HY
+from ..ops import rotations as rot
+from ..ops import sdf as sdfm
+
+SEG_TABLE, SEG_KUKA, SEG_PLUG, SEG_SOCKET = 0, 1, 2, 3
+
+
+class CameraConfig(NamedTuple):
+    height: int = 54
+    width: int = 96
+    yfov: float = 0.75            # ~43° vertical
+    near: float = 0.1             # near_clip
+    far: float = 0.5              # far_clip
+    dis_noise: float = 0.001
+    march_iters: int = 24
+    # real-calibrated pose (FactoryEnvInsertionTactile.yaml real_cam_pos/ori)
+    cam_pos: tuple = (0.73114316, -0.01966786, 0.1629284)
+    cam_quat: tuple = (0.60720, 0.6214361, -0.3433028, -0.3567319)
+
+
+def _pixel_rays(cfg: CameraConfig):
+    tan_half = jnp.tan(cfg.yfov / 2.0)
+    aspect = cfg.width / cfg.height
+    ys = jnp.linspace(tan_half, -tan_half, cfg.height)
+    xs = jnp.linspace(-tan_half * aspect, tan_half * aspect, cfg.width)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    # optical axis = +z of the calibrated camera frame (the real_cam_ori quat
+    # maps +z onto the view direction toward the socket)
+    d = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def render_depth_seg(
+    cfg: CameraConfig,
+    plug_q: jax.Array,       # [N, 4]
+    plug_pos: jax.Array,     # [N, 3]
+    socket_q: jax.Array,
+    socket_pos: jax.Array,
+    kind_onehot: jax.Array,
+    plug_hx: jax.Array,
+    plug_hy: jax.Array,
+    plug_length: jax.Array,
+    hole_hx: jax.Array,
+    hole_hy: jax.Array,
+    socket_height: jax.Array,
+    table_height: jax.Array,
+    noise_key: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (depth_normalized [N,H,W], seg [N,H,W] int32, depth_raw)."""
+    n = plug_pos.shape[0]
+    rays_c = _pixel_rays(cfg)                                  # [H, W, 3]
+    cam_q = jnp.asarray(cfg.cam_quat, plug_pos.dtype)
+    cam_t = jnp.asarray(cfg.cam_pos, plug_pos.dtype)
+    rays_w = rot.quat_apply(cam_q, rays_c)                     # [H, W, 3]
+    rays_w = jnp.broadcast_to(rays_w, (n,) + rays_w.shape)
+
+    inv_pq, inv_pt = rot.tf_inverse(plug_q, plug_pos)
+    inv_sq, inv_st = rot.tf_inverse(socket_q, socket_pos)
+    o_plug = inv_pt + rot.quat_apply(inv_pq, cam_t)            # [N, 3]
+    o_sock = inv_st + rot.quat_apply(inv_sq, cam_t)
+
+    def scene_sdf(t):
+        """Component distances at ray parameter t: [3, N, H, W]."""
+        p_w = cam_t + rays_w * t[..., None]
+        p_p = o_plug[:, None, None, :] + rot.quat_apply(inv_pq[:, None, None, :], rays_w) * t[..., None]
+        p_s = o_sock[:, None, None, :] + rot.quat_apply(inv_sq[:, None, None, :], rays_w) * t[..., None]
+        d_plug = sdfm.plug_sdf(
+            p_p, kind_onehot[:, None, None, :], plug_hx[:, None, None],
+            plug_hy[:, None, None], plug_length[:, None, None],
+        )
+        d_sock = sdfm.socket_sdf(
+            p_s, kind_onehot[:, None, None, :], hole_hx[:, None, None],
+            hole_hy[:, None, None], socket_height[:, None, None],
+            jnp.asarray(SOCKET_PLATE_HX, t.dtype), jnp.asarray(SOCKET_PLATE_HY, t.dtype),
+        )
+        d_table = p_w[..., 2] - table_height[:, None, None]
+        return jnp.stack([d_table, d_plug, d_sock])
+
+    def march(t, _):
+        d = jnp.min(scene_sdf(t), axis=0)
+        return jnp.minimum(t + jnp.maximum(d, 1e-4), cfg.far), None
+
+    t0 = jnp.full((n, cfg.height, cfg.width), cfg.near)
+    t_hit, _ = jax.lax.scan(march, t0, None, length=cfg.march_iters)
+
+    d_comp = scene_sdf(t_hit)                                   # [3, N, H, W]
+    comp = jnp.argmin(d_comp, axis=0)                           # 0 table, 1 plug, 2 socket
+    hit = (jnp.min(d_comp, axis=0) < 2e-3) & (t_hit < cfg.far - 1e-4)
+    seg = jnp.where(
+        hit, jnp.asarray([SEG_TABLE, SEG_PLUG, SEG_SOCKET])[comp], SEG_TABLE
+    ).astype(jnp.int32)
+
+    depth_raw = jnp.where(hit, t_hit, cfg.far)
+    if noise_key is not None and cfg.dis_noise > 0.0:
+        depth_raw = depth_raw + cfg.dis_noise * 2.0 * (
+            jax.random.uniform(noise_key, depth_raw.shape) - 0.5
+        )
+    # DepthImageProcessor.process_depth_image parity: clip + normalize by -far
+    depth_clipped = jnp.clip(depth_raw, cfg.near, cfg.far)
+    depth_norm = depth_clipped / -cfg.far
+    return depth_norm, seg, depth_raw
+
+
+def seg_noise(seg: jax.Array, key: jax.Array, flip_prob: float = 0.1) -> jax.Array:
+    """Random pixel-flip segmentation noise (factory_utils.py:23-37)."""
+    k1, k2 = jax.random.split(key)
+    flip = jax.random.uniform(k1, seg.shape) < flip_prob
+    rand_ids = jax.random.randint(k2, seg.shape, 0, 4)
+    return jnp.where(flip, rand_ids, seg)

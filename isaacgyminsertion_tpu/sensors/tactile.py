@@ -1,0 +1,167 @@
+"""AllSight tactile gel renderer — batched SDF sphere-tracer (pure JAX).
+
+Replaces the TACTO/pyrender/EGL per-finger CPU render loop of the reference
+(allsight/tacto/renderer.py:64-686, allsight/experiments/allsight_render.py,
+task pipeline factory_task_insertion.py:479-583 — the loop the reference
+itself marks "TODO: find a parallel solution", :531). Here all N envs × 3
+fingers render in ONE fused ray-march over [N, F, H, W] rays, entirely
+on-device; no host round trip, no GL.
+
+Parity mapping (reference → this renderer):
+  - perspective gel camera, yfov 118°      (config_allsight_white.yml) → same
+  - force-proportional object indentation, max_deformation 0.01 m over force
+    range [0, 10] N (renderer.py:560-603)  → depth offset along the view ray
+  - 3 polar spot lights (renderer.py:327-398) → 3 RGB directional lights at
+    120° around the optical axis, Lambert shading of the SDF normal
+  - sim-minus-background calibration (renderer.py:525-553), circular mask,
+    flip-ud + top-half ROI crop + resize→64×64 (factory_task_insertion.py:
+    546-574) → the camera renders the ROI directly at encoder resolution,
+    which is statistically the same image without the resample pass
+  - gaussian pixel noise (renderer.py:507-523) → optional noise arg
+
+The tactile image drives the student encoder (64×64, 1 or 3 channels,
+FactoryTaskInsertionTactile.yaml tactile.encoder), so the contract here is
+that distribution, not pixel-exact TACTO output.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rotations as rot
+from ..ops import sdf as sdfm
+
+
+class TactileConfig(NamedTuple):
+    height: int = 64
+    width: int = 64
+    num_channels: int = 3          # 1 (grayscale) | 3 (RGB), encoder cfg
+    yfov: float = 118.0 * jnp.pi / 180.0
+    march_iters: int = 12
+    max_range: float = 0.06        # ray length through the gel volume [m]
+    max_deformation: float = 0.01  # renderer.py:560-603
+    force_range: float = 10.0      # N; force→indentation scaling
+    diff: bool = True              # subtract background (task cfg tactile.diff)
+    # camera sits behind the pad surface looking along +y of the site frame
+    cam_offset: float = 0.02
+
+
+# 3 RGB lights at 120° polar positions around the optical axis
+# (allsight_wrapper spot-light ring, config_allsight_white.yml)
+_LIGHT_COLORS = jnp.asarray(
+    [[1.0, 0.25, 0.25], [0.25, 1.0, 0.25], [0.25, 0.25, 1.0]], jnp.float32
+)
+
+
+def _pixel_rays(cfg: TactileConfig):
+    """Unit ray directions [H, W, 3] in the camera frame (camera looks +z)."""
+    tan_half = jnp.tan(cfg.yfov / 2.0)
+    ys = jnp.linspace(-tan_half, tan_half, cfg.height)
+    xs = jnp.linspace(-tan_half, tan_half, cfg.width)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    d = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def _light_dirs():
+    """Directional light vectors [3, 3] in the camera frame."""
+    ang = jnp.asarray([0.0, 2.0 * jnp.pi / 3.0, 4.0 * jnp.pi / 3.0])
+    # tilted 45° toward the optical axis from polar ring positions
+    return jnp.stack(
+        [jnp.cos(ang) * 0.7, jnp.sin(ang) * 0.7, jnp.full_like(ang, 0.714)], axis=-1
+    )
+
+
+def render_tactile(
+    cfg: TactileConfig,
+    tip_q: jax.Array,        # [N, F, 4] fingertip site orientations (world)
+    tip_t: jax.Array,        # [N, F, 3] fingertip site positions (world)
+    plug_q: jax.Array,       # [N, 4]
+    plug_pos: jax.Array,     # [N, 3]
+    kind_onehot: jax.Array,  # [N, K]
+    plug_hx: jax.Array,      # [N]
+    plug_hy: jax.Array,
+    plug_length: jax.Array,
+    force: jax.Array,        # [N, F] smoothed contact force magnitude
+    noise_key: jax.Array | None = None,
+    noise_std: float = 0.0,
+) -> jax.Array:
+    """Render [N, F, H, W, C] tactile images in one fused ray-march."""
+    n, f = tip_t.shape[:2]
+    rays_c = _pixel_rays(cfg)                                  # [H, W, 3]
+
+    # camera pose: at the pad site, pushed back along the pad normal (site +y
+    # is the outward pad direction; camera looks along −y toward the object).
+    # Build a camera frame (x_c, y_c, z_c=view) from the site frame.
+    site_R = rot.quat_to_matrix(tip_q)                         # [N, F, 3, 3]
+    view = -site_R[..., :, 1]                                  # −y_site: toward object
+    up = site_R[..., :, 2]                                     # z_site
+    right = jnp.cross(view, up)
+    cam_R = jnp.stack([right, up, view], axis=-1)              # [N, F, 3, 3] cols
+    cam_t = tip_t - view * cfg.cam_offset
+
+    # rays to world, then into the plug frame
+    rays_w = jnp.einsum("nfij,hwj->nfhwi", cam_R, rays_c)
+    inv_q, inv_t = rot.tf_inverse(plug_q, plug_pos)
+    o_p = inv_t[:, None, :] + rot.quat_apply(inv_q[:, None, :], cam_t)  # [N, F, 3]
+    d_p = rot.quat_apply(inv_q[:, None, None, None, :], rays_w)         # [N, F, H, W, 3]
+
+    def psdf(p):
+        return sdfm.plug_sdf(
+            p,
+            kind_onehot[:, None, None, None, :],
+            plug_hx[:, None, None, None],
+            plug_hy[:, None, None, None],
+            plug_length[:, None, None, None],
+        )
+
+    # sphere tracing (fixed trip count)
+    def march(t, _):
+        p = o_p[:, :, None, None, :] + d_p * t[..., None]
+        d = psdf(p)
+        return jnp.minimum(t + jnp.maximum(d, 1e-4), cfg.max_range), None
+
+    t0 = jnp.full((n, f, cfg.height, cfg.width), 1e-3)
+    t_hit, _ = jax.lax.scan(march, t0, None, length=cfg.march_iters)
+
+    p_hit = o_p[:, :, None, None, :] + d_p * t_hit[..., None]
+    d_final, pullback = jax.vjp(psdf, p_hit)
+    (g,) = pullback(jnp.ones_like(d_final))
+    normal_p = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
+    hit = (d_final < 2e-3) & (t_hit < cfg.max_range - 1e-4)
+
+    # force-proportional indentation: deeper contact ⇒ brighter/nearer surface
+    indent = cfg.max_deformation * jnp.clip(force / cfg.force_range, 0.0, 1.0)
+    depth = t_hit - indent[..., None, None]
+    # height map: proximity of the surface to the camera within gel range
+    height = jnp.clip(1.0 - depth / cfg.max_range, 0.0, 1.0) * hit
+
+    # shade with 3 RGB lights (normal back in camera frame)
+    n_w = rot.quat_apply(plug_q[:, None, None, None, :], normal_p)
+    n_c = jnp.einsum("nfij,nfhwi->nfhwj", cam_R, n_w)          # world→camera
+    lambert = jnp.clip(
+        -jnp.einsum("nfhwi,li->nfhwl", n_c, _light_dirs()), 0.0, 1.0
+    )  # [N, F, H, W, 3lights]
+    rgb = jnp.einsum("nfhwl,lc->nfhwc", lambert, _LIGHT_COLORS)
+    img = rgb * height[..., None]
+
+    # circular gel mask
+    yy, xx = jnp.meshgrid(
+        jnp.linspace(-1, 1, cfg.height), jnp.linspace(-1, 1, cfg.width), indexing="ij"
+    )
+    mask = (xx**2 + yy**2) <= 1.0
+    img = img * mask[..., None]
+
+    if not cfg.diff:
+        # add a dim static background glow instead of subtracting it
+        img = img + 0.15 * mask[..., None]
+    if noise_key is not None and noise_std > 0.0:
+        img = img + noise_std * jax.random.normal(noise_key, img.shape)
+    img = jnp.clip(img, 0.0, 1.0)
+
+    if cfg.num_channels == 1:
+        img = jnp.mean(img, axis=-1, keepdims=True)
+    return img

@@ -1,0 +1,143 @@
+"""Sensor subsystem tests: tactile render, depth/seg camera, pcl, contact GT."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isaacgyminsertion_tpu.assets import build_subassembly_set
+from isaacgyminsertion_tpu.envs import insertion
+from isaacgyminsertion_tpu.envs.config import default_task_config
+from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
+from isaacgyminsertion_tpu.sensors import camera as cam_mod
+from isaacgyminsertion_tpu.sensors import contact_gt as cgt_mod
+from isaacgyminsertion_tpu.sensors import pcl as pcl_mod
+from isaacgyminsertion_tpu.sensors import tactile as tact_mod
+
+N = 4
+MODEL = build_kuka_openhand()
+SUBS = build_subassembly_set()
+
+
+def _shape_args(sub_idx):
+    g = lambda a: jnp.asarray(a)[sub_idx]
+    return dict(
+        kind_onehot=g(SUBS.kind_onehot), plug_hx=g(SUBS.plug_hx),
+        plug_hy=g(SUBS.plug_hy), plug_length=g(SUBS.plug_length),
+        hole_hx=g(SUBS.hole_hx), hole_hy=g(SUBS.hole_hy),
+        socket_height=g(SUBS.socket_height),
+    )
+
+
+def test_tactile_renders_contact_and_blank():
+    sub_idx = jnp.arange(N) % len(SUBS.names)
+    sh = _shape_args(sub_idx)
+    cfg = tact_mod.TactileConfig()
+    # pad 1 touching the plug lateral surface, pads 2,3 far away
+    plug_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.1]), (N, 1))
+    plug_q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (N, 1))
+    r = np.asarray(SUBS.plug_hx)[np.asarray(sub_idx)]
+    tip_t = np.tile(np.asarray([[10.0, 10.0, 10.0]] * 3), (N, 1, 1))
+    tip_q = np.zeros((N, 3, 4))
+    # pad 0: site +y (outward pad normal) pointing AWAY from plug ⇒ camera
+    # looks −y toward the plug; place pad on +y side of the plug surface
+    for i in range(N):
+        tip_t[i, 0] = [0.5, r[i] + 0.005, 0.14]
+        tip_q[i, 0] = [0.0, 0.0, 0.0, 1.0]  # identity: site y = world y
+    img = tact_mod.render_tactile(
+        cfg, jnp.asarray(tip_q), jnp.asarray(tip_t), plug_q, plug_pos,
+        sh["kind_onehot"], sh["plug_hx"], sh["plug_hy"], sh["plug_length"],
+        force=jnp.ones((N, 3)) * 5.0,
+    )
+    assert img.shape == (N, 3, cfg.height, cfg.width, cfg.num_channels)
+    assert bool(jnp.all(jnp.isfinite(img)))
+    # touching pad sees the plug; far pads see (near-)black
+    assert float(img[:, 0].mean()) > 5.0 * float(img[:, 1].mean()) + 1e-6
+    assert float(img[:, 1].max()) < 0.05
+
+
+def test_depth_seg_camera_sees_scene():
+    sub_idx = jnp.arange(N) % len(SUBS.names)
+    sh = _shape_args(sub_idx)
+    ccfg = cam_mod.CameraConfig()
+    plug_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.05]), (N, 1))
+    plug_q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (N, 1))
+    sock_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.001]), (N, 1))
+    depth_n, seg, depth_raw = cam_mod.render_depth_seg(
+        ccfg, plug_q, plug_pos, plug_q, sock_pos, sh["kind_onehot"],
+        sh["plug_hx"], sh["plug_hy"], sh["plug_length"], sh["hole_hx"],
+        sh["hole_hy"], sh["socket_height"], jnp.full((N,), 0.001),
+    )
+    assert depth_n.shape == (N, ccfg.height, ccfg.width)
+    seg_np = np.asarray(seg)
+    # the camera at the real-calibrated pose must see the plug and the socket
+    assert (seg_np == cam_mod.SEG_PLUG).sum() > 20, np.unique(seg_np)
+    assert (seg_np == cam_mod.SEG_SOCKET).sum() > 20, np.unique(seg_np)
+    # depth normalization convention: negative values scaled by -far
+    assert float(depth_n.max()) <= -0.0 + 1e-6
+
+
+def test_pcl_pipeline_fixed_shapes():
+    sub_idx = jnp.arange(N) % len(SUBS.names)
+    sh = _shape_args(sub_idx)
+    ccfg = cam_mod.CameraConfig()
+    plug_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.05]), (N, 1))
+    plug_q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (N, 1))
+    sock_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.001]), (N, 1))
+    _, seg, depth_raw = cam_mod.render_depth_seg(
+        ccfg, plug_q, plug_pos, plug_q, sock_pos, sh["kind_onehot"],
+        sh["plug_hx"], sh["plug_hy"], sh["plug_length"], sh["hole_hx"],
+        sh["hole_hy"], sh["socket_height"], jnp.full((N,), 0.001),
+    )
+    goal = jnp.zeros((N, 400, 3))
+    merged = pcl_mod.assemble_scene_pcl(ccfg, depth_raw, seg, goal, jax.random.PRNGKey(0))
+    assert merged.shape == (N, 800, 3)  # plug 400 + socket 400 (defaults)
+    plug_pts = np.asarray(merged[:, :400])
+    valid = np.abs(plug_pts).sum(-1) > 0
+    assert valid.any()
+    # valid plug points lie near the plug (within its bbox + margin)
+    d = np.linalg.norm(plug_pts[valid] - np.asarray([0.5, 0.0, 0.09]), axis=-1)
+    assert d.max() < 0.15
+
+
+def test_extrinsic_contact_binarizes():
+    sub_idx = jnp.arange(N) % len(SUBS.names)
+    sh = _shape_args(sub_idx)
+    dense = jnp.asarray(SUBS.dense_points)[sub_idx]
+    sock_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.001]), (N, 1))
+    q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (N, 1))
+    # plug seated in socket → many contacts; plug far away → none
+    near = cgt_mod.extrinsic_contact(
+        dense, q, sock_pos, q, sock_pos, sh["kind_onehot"], sh["hole_hx"],
+        sh["hole_hy"], sh["socket_height"], jax.random.PRNGKey(1),
+    )
+    far = cgt_mod.extrinsic_contact(
+        dense, q, sock_pos + jnp.asarray([1.0, 0, 0]), q, sock_pos,
+        sh["kind_onehot"], sh["hole_hx"], sh["hole_hy"], sh["socket_height"],
+        jax.random.PRNGKey(2),
+    )
+    assert float(near.mean()) > 0.05
+    assert float(far.max()) == 0.0
+    assert bool(jnp.all((near >= 0) & (near <= 1)))
+
+
+def test_env_step_with_all_sensors():
+    cfg0 = default_task_config()
+    cfg = cfg0.replace(
+        env=dataclasses.replace(
+            cfg0.env, tactile=True, external_cam=True, depth_cam=True,
+            seg_cam=True, pcl_cam=True, compute_contact_gt=True,
+        )
+    )
+    state = insertion.reset_all(cfg, MODEL, SUBS, jax.random.PRNGKey(5), N)
+    step = jax.jit(lambda s, a: insertion.step(cfg, MODEL, SUBS, s, a))
+    for _ in range(3):
+        state, out = step(state, jnp.zeros((N, 6)))
+    assert out.tactile.shape[0] == N and out.tactile.size > 0
+    assert out.img.size > 0 and out.seg.size > 0
+    assert out.pcl.shape[-1] == 3 and out.pcl.size > 0
+    assert out.contacts.size > 0
+    for leaf in [out.tactile, out.img, out.pcl, out.contacts]:
+        assert bool(jnp.all(jnp.isfinite(leaf)))
