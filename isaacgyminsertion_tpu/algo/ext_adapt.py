@@ -1,0 +1,297 @@
+"""ExtrinsicAdapt — stage-2 student distillation by online DAgger (fused jit).
+
+Parity target: algo/ext_adapt/ext_adapt.py (SURVEY.md §2.3, §3.3):
+  - frozen teacher ActorCriticSplit + RMS (ext_adapt.py:229-236, 304-306)
+  - student MultiModalModel per modality flags (obs/tactile/img/seg/pcl)
+  - rollout mixes teacher/student actions with annealed β: teacher-only for
+    the first 1e6 env steps, then β 1→0 over 3e6 (ext_adapt.py:713-726);
+    per-env Bernoulli(β) choice per step
+  - StudentBuffer stores normalized modalities + teacher actions + latent_gt
+    (ext_adapt.py:693-710)
+  - loss = action MSE with weight 0.1 on the z translation axis
+    (ext_adapt.py:814-819) [+ optional latent MSE vs latent_gt, :806];
+    only-BC mode regresses a 6-dim tanh action directly
+  - seg preprocessing to {plug=2, socket=3} masks (ext_adapt.py:391-402),
+    per-point pcl RMS normalizer (:254-255, 408), student-obs RMS
+
+TPU design: rollout (teacher+student forward + env step) and the minibatch
+update loop run in ONE jit per epoch, like the PPO trainer; multi-chip via
+the same GSPMD dp sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..envs import insertion
+from ..envs.config import TaskConfig
+from ..models.actor_critic import ActorCriticSplit
+from ..models.running_mean_std import RMSState, rms_init, rms_normalize, rms_update
+from ..models.student import MultiModalModel
+from ..sensors.camera import SEG_PLUG, SEG_SOCKET
+
+
+@dataclass(frozen=True)
+class DAggerConfig:
+    horizon: int = 32
+    mini_epochs: int = 4
+    learning_rate: float = 5.0e-4
+    grad_norm: float = 1.0
+    teacher_only_steps: float = 1.0e6   # ext_adapt.py:713-726
+    beta_anneal_steps: float = 3.0e6
+    latent_loss_coef: float = 1.0
+    action_z_weight: float = 0.1        # ext_adapt.py:814-819
+    only_bc: bool = False
+    # modality flags (train cfg ppo.{obs,tactile,img,seg,pcl}_info)
+    use_obs: bool = True
+    use_tactile: bool = False
+    use_img: bool = False
+    use_seg: bool = False
+    use_pcl: bool = False
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+class TeacherBundle(NamedTuple):
+    params: Any
+    obs_rms: RMSState
+    priv_rms: RMSState
+
+
+class DAggerState(NamedTuple):
+    student_params: Any
+    opt_state: Any
+    stud_obs_rms: RMSState
+    pcl_rms: RMSState       # per-point xyz normalizer
+    env_state: insertion.EnvState
+    rng: jax.Array
+    epoch: jax.Array
+    agent_steps: jax.Array
+
+
+def _seg_masks(seg: jax.Array) -> jax.Array:
+    """{plug, socket} binary masks stacked as channels (ext_adapt.py:391-402)."""
+    plug = (seg == SEG_PLUG).astype(jnp.float32)
+    sock = (seg == SEG_SOCKET).astype(jnp.float32)
+    return jnp.stack([plug, sock], axis=-1)  # [..., H, W, 2]
+
+
+def _student_inputs(da_cfg: DAggerConfig, state: DAggerState, out_obs, out):
+    """Normalize / preprocess modalities into the student's input dict."""
+    inp = {}
+    if da_cfg.use_obs:
+        inp["obs"] = rms_normalize(state.stud_obs_rms, out_obs)
+    if da_cfg.use_tactile:
+        inp["tactile"] = out.tactile
+    if da_cfg.use_img:
+        inp["img"] = out.img
+    if da_cfg.use_seg:
+        inp["seg"] = _seg_masks(out.seg[:, -1])[:, None]
+    if da_cfg.use_pcl:
+        p = out.pcl[:, -1] if out.pcl.ndim == 4 else out.pcl
+        inp["pcl"] = rms_normalize(state.pcl_rms, p)
+    return inp
+
+
+def build(
+    cfg_task: TaskConfig,
+    da_cfg: DAggerConfig,
+    model,
+    subs,
+    n_envs: int,
+    teacher: TeacherBundle,
+    rng: jax.Array,
+):
+    """Construct the student, initial DAggerState and the jitted train epoch."""
+    obs_dim = cfg_task.env.num_obs_hist * cfg_task.env.num_observations
+    teacher_net = ActorCriticSplit(
+        num_actions=cfg_task.env.num_actions,
+        obs_dim=obs_dim,
+        priv_dim=cfg_task.env.num_states,
+    )
+    n_pcl = (
+        (cfg_task.env.num_points if cfg_task.env.include_plug_pcl else 0)
+        + (cfg_task.env.num_points_socket if cfg_task.env.merge_socket_pcl else 0)
+        + (cfg_task.env.num_points_goal if cfg_task.env.merge_goal_pcl else 0)
+    )
+    student = MultiModalModel(
+        use_obs=da_cfg.use_obs,
+        use_tactile=da_cfg.use_tactile,
+        use_img=da_cfg.use_img,
+        use_seg=da_cfg.use_seg,
+        use_pcl=da_cfg.use_pcl,
+        latent_dim=6 if da_cfg.only_bc else 8,
+        bc_mode=da_cfg.only_bc,
+        num_points=cfg_task.env.num_points if cfg_task.env.include_plug_pcl else 0,
+        num_points_socket=cfg_task.env.num_points_socket if cfg_task.env.merge_socket_pcl else 0,
+        num_points_goal=cfg_task.env.num_points_goal if cfg_task.env.merge_goal_pcl else 0,
+    )
+
+    k_env, k_stud, k_train = jax.random.split(rng, 3)
+    env_state = insertion.reset_all(cfg_task, model, subs, k_env, n_envs)
+    _, out0 = insertion.step(
+        cfg_task, model, subs, env_state, jnp.zeros((n_envs, cfg_task.env.num_actions))
+    )
+    dummy_state = DAggerState(
+        student_params=None, opt_state=None,
+        stud_obs_rms=rms_init((obs_dim,)), pcl_rms=rms_init((3,)),
+        env_state=env_state, rng=k_train,
+        epoch=jnp.zeros((), jnp.int32), agent_steps=jnp.zeros((), jnp.float32),
+    )
+    inp0 = _student_inputs(da_cfg, dummy_state, out0.student_obs, out0)
+    student_params = student.init(k_stud, **inp0)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(da_cfg.grad_norm),
+        optax.adamw(da_cfg.learning_rate),
+    )
+    state = dummy_state._replace(
+        student_params=student_params,
+        opt_state=tx.init(student_params),
+        env_state=env_state,
+    )
+    train_epoch = make_train_epoch(cfg_task, da_cfg, model, subs, teacher_net, teacher, student, tx)
+    return student, tx, state, train_epoch
+
+
+def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
+                     teacher: TeacherBundle, student, tx):
+    env_step = lambda s, a: insertion.step(cfg_task, model, subs, s, a)
+    act_dim = cfg_task.env.num_actions
+
+    def teacher_act(obs, priv):
+        o = rms_normalize(teacher.obs_rms, obs)
+        p = rms_normalize(teacher.priv_rms, priv)
+        mu, _, _, latent_gt, _ = teacher_net.apply(teacher.params, o, p)
+        return jnp.clip(mu, -1.0, 1.0), latent_gt
+
+    def student_act(student_params, da_state, obs_n, out):
+        inp = _student_inputs(da_cfg, da_state, obs_n, out)
+        pred = student.apply(student_params, **inp)
+        if da_cfg.only_bc:
+            return pred, pred
+        # inject student latent into the frozen actor (act_inference path);
+        # priv input is a placeholder — the injected latent overrides it
+        o = rms_normalize(teacher.obs_rms, obs_n)
+        zeros_priv = jnp.zeros(obs_n.shape[:-1] + (cfg_task.env.num_states,), obs_n.dtype)
+        mu, _, _, _, _ = teacher_net.apply(teacher.params, o, zeros_priv, latent=pred)
+        return jnp.clip(mu, -1.0, 1.0), pred
+
+    def rollout_step(carry, _):
+        env_state, da_state, rng = carry
+        rng, k_mix = jax.random.split(rng)
+        obs = env_state.obs_queue
+        stud_obs_pre = env_state.obs_stud_queue
+        priv = insertion.priv_info_of(cfg_task, model, env_state)
+        t_actions, latent_gt = teacher_act(obs, priv)
+
+        # one env step to materialize modalities for the CURRENT state: the
+        # reference stores the modalities produced by post_physics of the
+        # previous step; we equivalently use the queues in env_state
+        prev_out = insertion.StepOutput(
+            obs=obs, student_obs=env_state.obs_stud_queue, priv_info=priv,
+            rew=jnp.zeros(obs.shape[0]), reset=env_state.reset_buf,
+            timeout=env_state.timeout_reset_buf, extras={},
+            tactile=env_state.tactile_queue, img=env_state.img_queue,
+            seg=env_state.seg_queue, pcl=env_state.pcl_queue,
+            contacts=env_state.contact_queue,
+        )
+        s_actions, s_latent = student_act(da_state.student_params, da_state,
+                                          stud_obs_pre, prev_out)
+
+        # annealed β (ext_adapt.py:713-726)
+        steps = da_state.agent_steps
+        beta = jnp.clip(
+            1.0 - (steps - da_cfg.teacher_only_steps) / da_cfg.beta_anneal_steps,
+            0.0, 1.0,
+        )
+        use_teacher = jax.random.uniform(k_mix, (obs.shape[0], 1)) < beta
+        mixed = jnp.where(use_teacher, t_actions, s_actions)
+        env_state, out = env_step(env_state, mixed)
+
+        sample = dict(
+            obs=obs, student_obs=stud_obs_pre, t_actions=t_actions,
+            latent_gt=latent_gt, tactile=prev_out.tactile, img=prev_out.img,
+            seg=prev_out.seg, pcl=prev_out.pcl,
+        )
+        metrics = {"reward": jnp.mean(out.rew), "success": jnp.mean(out.extras["successes"]),
+                   "beta": beta}
+        da_state = da_state._replace(agent_steps=da_state.agent_steps + obs.shape[0])
+        return (env_state, da_state, rng), (sample, metrics)
+
+    def loss_fn(student_params, da_state, mb):
+        out_like = insertion.StepOutput(
+            obs=mb["obs"], student_obs=mb["student_obs"], priv_info=None,
+            rew=None, reset=None, timeout=None, extras={},
+            tactile=mb["tactile"], img=mb["img"], seg=mb["seg"], pcl=mb["pcl"],
+            contacts=None,
+        )
+        s_actions, s_latent = student_act(student_params, da_state, mb["student_obs"], out_like)
+        w = jnp.ones((act_dim,)).at[2].set(da_cfg.action_z_weight)
+        action_loss = jnp.mean(w * jnp.square(s_actions - mb["t_actions"]))
+        loss = action_loss
+        latent_loss = jnp.zeros(())
+        if not da_cfg.only_bc and da_cfg.latent_loss_coef > 0:
+            latent_loss = jnp.mean(jnp.square(s_latent - mb["latent_gt"]))
+            loss = loss + da_cfg.latent_loss_coef * latent_loss
+        return loss, {"action_loss": action_loss, "latent_loss": latent_loss}
+
+    def train_epoch(state: DAggerState):
+        carry = (state.env_state, state, state.rng)
+        (env_state, state, rng), (traj, roll_metrics) = jax.lax.scan(
+            rollout_step, carry, None, length=da_cfg.horizon
+        )
+
+        # normalizer updates
+        stud_obs_rms = rms_update(state.stud_obs_rms, traj["student_obs"])
+        pcl_rms = (
+            rms_update(state.pcl_rms, traj["pcl"].reshape(-1, 3))
+            if da_cfg.use_pcl and traj["pcl"].size else state.pcl_rms
+        )
+        state = state._replace(stud_obs_rms=stud_obs_rms, pcl_rms=pcl_rms)
+
+        def fl(x):
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        batch = {k: fl(v) for k, v in traj.items()}
+        B = batch["obs"].shape[0]
+        mb_size = max(B // da_cfg.mini_epochs, 1)
+        n_mb = B // mb_size
+
+        def mb_update(carry, idx):
+            params, opt_state = carry
+            mb = {k: v[idx] for k, v in batch.items()}
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state, mb)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return (params, opt_state), aux
+
+        def epoch_body(carry, _):
+            params, opt_state, rng_i = carry
+            rng_i, kp = jax.random.split(rng_i)
+            perm = jax.random.permutation(kp, B)[: n_mb * mb_size].reshape(n_mb, mb_size)
+            (params, opt_state), aux = jax.lax.scan(mb_update, (params, opt_state), perm)
+            return (params, opt_state, rng_i), jax.tree_util.tree_map(jnp.mean, aux)
+
+        (params, opt_state, rng), aux = jax.lax.scan(
+            epoch_body, (state.student_params, state.opt_state, rng), None,
+            length=da_cfg.mini_epochs,
+        )
+        aux = jax.tree_util.tree_map(jnp.mean, aux)
+        roll = jax.tree_util.tree_map(jnp.mean, roll_metrics)
+        metrics = {**aux, **{f"episode/{k}": v for k, v in roll.items()}}
+        new_state = state._replace(
+            student_params=params, opt_state=opt_state, env_state=env_state,
+            rng=rng, epoch=state.epoch + 1,
+        )
+        return new_state, metrics
+
+    return train_epoch
