@@ -1,0 +1,65 @@
+"""Teacher rollout data collection → npz trajectory datasets.
+
+Parity: scripts/collect_s1.sh + data_logger block (FactoryTaskInsertionTactile
+.yaml data_logger, experience.py DataLoggerSim): roll the frozen teacher in
+sim and log per-env trajectories (obs/student_obs/priv/actions/teacher latent/
+poses/done) for offline student training. Rollouts run in jitted chunks; the
+logger consumes host copies at chunk boundaries only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.logger import DataLoggerSim
+from ..envs import insertion
+from ..models.running_mean_std import rms_normalize
+from ..physics.kinematics import forward_kinematics, site_pose
+from ..physics.robot import SITE_FINGERTIP_CENTERED
+
+
+def collect_teacher_rollouts(
+    cfg_task, model, subs, net, params, obs_rms, priv_rms,
+    n_envs: int, out_dir: str, total_trajectories: int = 100,
+    chunk: int = 32, seed: int = 0, deterministic: bool = True,
+):
+    def chunk_fn(env_state, rng):
+        def body(carry, _):
+            env_state, rng = carry
+            rng, k = jax.random.split(rng)
+            obs = env_state.obs_queue
+            stud_obs = env_state.obs_stud_queue
+            priv = insertion.priv_info_of(cfg_task, model, env_state)
+            o = rms_normalize(obs_rms, obs)
+            p = rms_normalize(priv_rms, priv)
+            mu, log_std, _, latent, _ = net.apply(params, o, p)
+            act = mu if deterministic else mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
+            act = jnp.clip(act, -1.0, 1.0)
+            fk = forward_kinematics(model, env_state.phys.q)
+            eef_q, eef_t = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+            env_state, out = insertion.step(cfg_task, model, subs, env_state, act)
+            rec = dict(
+                obs=obs, student_obs=stud_obs, priv_info=priv, actions=act,
+                rewards=out.rew, latent=latent, done=out.reset,
+                success=out.extras["successes"],
+                plug_pos=env_state.phys.plug_pos, plug_quat=env_state.phys.plug_quat,
+                socket_pos=env_state.params.socket_pos,
+                socket_quat=env_state.params.socket_quat,
+                eef_pos=eef_t, eef_quat=eef_q,
+            )
+            return (env_state, rng), rec
+
+        (env_state, rng), recs = jax.lax.scan(body, (env_state, rng), None, length=chunk)
+        return env_state, rng, recs
+
+    chunk_jit = jax.jit(chunk_fn)
+    rng = jax.random.PRNGKey(seed)
+    env_state = insertion.reset_all(cfg_task, model, subs, rng, n_envs)
+    logger = DataLoggerSim(out_dir, n_envs, total_trajectories=total_trajectories)
+    while not logger.done:
+        env_state, rng, recs = chunk_jit(env_state, rng)
+        logger.add_chunk({k: np.asarray(v) for k, v in recs.items()})
+    logger.close()
+    return logger.writer.count

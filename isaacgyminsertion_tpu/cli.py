@@ -1,0 +1,159 @@
+"""Hydra-style CLI (`key=value` overrides) — entry-point parity with
+isaacgyminsertion/train.py (SURVEY.md §2.4).
+
+The reference is driven as `python train.py task=FactoryTaskInsertionTactile
+train.algo=PPO task.env.numEnvs=4096 ...` (scripts/*.sh); this module accepts
+the same override grammar and maps the reference's yaml key names onto the
+TaskConfig/PPOConfig/DAggerConfig dataclasses so the shell recipes translate
+1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Any
+
+from .algo.ext_adapt import DAggerConfig
+from .algo.ppo import PPOConfig
+from .envs.config import TaskConfig, default_task_config
+
+# reference yaml name → (config object name, dataclass path)
+_KEYMAP = {
+    "task.env.numEnvs": ("num_envs", None),
+    "num_envs": ("num_envs", None),
+    "task.rl.max_episode_length": ("task", "rl.max_episode_length"),
+    "task.env.tactile": ("task", "env.tactile"),
+    "task.external_cam.external_cam": ("task", "env.external_cam"),
+    "task.external_cam.depth_cam": ("task", "env.depth_cam"),
+    "task.external_cam.seg_cam": ("task", "env.seg_cam"),
+    "task.external_cam.pcl_cam": ("task", "env.pcl_cam"),
+    "task.env.compute_contact_gt": ("task", "env.compute_contact_gt"),
+    "task.env.numObsHist": ("task", "env.num_obs_hist"),
+    "task.randomize.domain_randomize": ("task", "randomize.domain_randomize"),
+    "task.grasp_at_init": ("task", "grasp_at_init"),
+    "task.reset_at_success": ("task", "reset_at_success"),
+    "task.reset_at_fails": ("task", "reset_at_fails"),
+    "train.ppo.horizon_length": ("ppo", "horizon"),
+    "train.ppo.mini_epochs": ("ppo", "mini_epochs"),
+    "train.ppo.learning_rate": ("ppo", "learning_rate"),
+    "train.ppo.gamma": ("ppo", "gamma"),
+    "train.ppo.tau": ("ppo", "tau"),
+    "train.ppo.max_agent_steps": ("ppo", "max_agent_steps"),
+    "train.ppo.tactile_info": ("dagger", "use_tactile"),
+    "train.ppo.img_info": ("dagger", "use_img"),
+    "train.ppo.seg_info": ("dagger", "use_seg"),
+    "train.ppo.pcl_info": ("dagger", "use_pcl"),
+    "train.ppo.obs_info": ("dagger", "use_obs"),
+    "train.ppo.only_bc": ("dagger", "only_bc"),
+}
+
+
+def _parse_value(v: str) -> Any:
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.startswith("[") and v.endswith("]"):
+        return tuple(_parse_value(x.strip()) for x in v[1:-1].split(",") if x.strip())
+    return v
+
+
+def _set_path(obj, path: str, value):
+    parts = path.split(".")
+    if len(parts) == 1:
+        return dataclasses.replace(obj, **{parts[0]: value})
+    sub = getattr(obj, parts[0])
+    return dataclasses.replace(obj, **{parts[0]: _set_path(sub, ".".join(parts[1:]), value)})
+
+
+def parse_args(argv: list[str] | None = None) -> dict:
+    """Returns {task, ppo, dagger, algo, num_envs, test, checkpoint, seed, output}."""
+    argv = sys.argv[1:] if argv is None else argv
+    out = dict(
+        task=default_task_config(),
+        ppo=PPOConfig(),
+        dagger=DAggerConfig(),
+        algo="PPO",
+        num_envs=128,
+        test=False,
+        checkpoint="",
+        seed=42,
+        output="outputs/run",
+        max_epochs=None,
+    )
+    for arg in argv:
+        if "=" not in arg:
+            continue
+        k, v = arg.split("=", 1)
+        val = _parse_value(v)
+        if k in ("train.algo", "algo"):
+            out["algo"] = val
+        elif k in ("test",):
+            out["test"] = bool(val)
+        elif k in ("checkpoint", "train.load_path"):
+            out["checkpoint"] = val
+        elif k in ("seed",):
+            out["seed"] = int(val)
+        elif k in ("output", "train.ppo.output_name"):
+            out["output"] = str(val)
+        elif k in ("max_epochs",):
+            out["max_epochs"] = int(val)
+        elif k == "task":
+            pass  # single task family; accepted for recipe compatibility
+        elif k in _KEYMAP:
+            name, path = _KEYMAP[k]
+            if path is None:
+                out[name] = val
+            else:
+                out[name] = _set_path(out[name], path, val)
+        elif k.startswith("task."):
+            out["task"] = _set_path(out["task"], k[len("task."):], val)
+        elif k.startswith("ppo."):
+            out["ppo"] = _set_path(out["ppo"], k[len("ppo."):], val)
+        elif k.startswith("dagger."):
+            out["dagger"] = _set_path(out["dagger"], k[len("dagger."):], val)
+        else:
+            raise SystemExit(f"unknown override: {k}")
+    return out
+
+
+def main(argv: list[str] | None = None):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from .algo.trainer import DAggerTrainer, PPOTrainer
+    from .assets import build_subassembly_set
+    from .physics.robot import build_kuka_openhand
+
+    args = parse_args(argv)
+    model = build_kuka_openhand()
+    subs = build_subassembly_set()
+
+    if args["algo"] == "PPO":
+        trainer = PPOTrainer(args["task"], args["ppo"], model, subs,
+                             args["num_envs"], args["output"], seed=args["seed"])
+        if args["checkpoint"]:
+            trainer.restore(args["checkpoint"])
+        if args["test"]:
+            trainer.test()
+        else:
+            trainer.train(max_epochs=args["max_epochs"])
+    elif args["algo"] == "ExtrinsicAdapt":
+        if not args["checkpoint"]:
+            raise SystemExit("ExtrinsicAdapt requires checkpoint=<teacher ckpt dir>")
+        trainer = DAggerTrainer(args["task"], args["dagger"], model, subs,
+                                args["num_envs"], args["output"],
+                                teacher_ckpt_path=args["checkpoint"], seed=args["seed"])
+        trainer.train(max_epochs=args["max_epochs"] or 1000)
+    else:
+        raise SystemExit(f"unknown algo {args['algo']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Offline pipeline: collect teacher rollouts → dataset → offline training."""
+
+import glob
+
+import jax
+import numpy as np
+
+from isaacgyminsertion_tpu.algo import ppo as ppo_mod
+from isaacgyminsertion_tpu.algo.collect import collect_teacher_rollouts
+from isaacgyminsertion_tpu.algo.offline_runner import OfflineConfig, OfflineRunner
+from isaacgyminsertion_tpu.assets import build_subassembly_set
+from isaacgyminsertion_tpu.data.dataset import DataNormalizer, TrajectoryDataset
+from isaacgyminsertion_tpu.envs.config import default_task_config
+from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
+import dataclasses
+
+MODEL = build_kuka_openhand()
+SUBS = build_subassembly_set()
+
+
+def test_collect_then_offline_train(tmp_path):
+    cfg0 = default_task_config()
+    cfg = cfg0.replace(rl=dataclasses.replace(cfg0.rl, max_episode_length=12))
+    net, tx, pstate, _ = ppo_mod.build(
+        cfg, ppo_mod.PPOConfig(horizon=4, mini_epochs=2), MODEL, SUBS, 4,
+        jax.random.PRNGKey(0),
+    )
+    data_dir = str(tmp_path / "trajs")
+    n = collect_teacher_rollouts(
+        cfg, MODEL, SUBS, net, pstate.params, pstate.obs_rms, pstate.priv_rms,
+        n_envs=4, out_dir=data_dir, total_trajectories=6, chunk=13,
+    )
+    files = glob.glob(data_dir + "/*.npz")
+    assert len(files) >= 6
+    with np.load(files[0]) as d:
+        assert "student_obs" in d and "actions" in d and "latent" in d
+        assert d["student_obs"].shape[-1] == 15 and d["actions"].shape[-1] == 6
+        assert int(d["done_idx"]) >= 1
+
+    stats = DataNormalizer(data_dir).run()
+    assert "student_obs" in stats
+    ds = TrajectoryDataset(data_dir, normalizer=DataNormalizer(data_dir))
+    assert len(ds) > 10
+
+    runner = OfflineRunner(
+        OfflineConfig(epochs=2, batch_size=16), data_dir, str(tmp_path / "out")
+    )
+    metrics = runner.run()
+    assert np.isfinite(metrics["train/loss"]) and np.isfinite(metrics["val/loss"])

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Headless offline-training entry (reference train_supervised.py parity).
+
+Usage:
+  python train_supervised.py data_dir=<npz dir> output=<out> [offline_training=True]
+  python train_supervised.py collect=True checkpoint=<teacher ckpt> data_dir=<out dir>
+"""
+
+import sys
+
+
+def main(argv=None):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    kv = dict(a.split("=", 1) for a in (argv or sys.argv[1:]) if "=" in a)
+    data_dir = kv.get("data_dir", "outputs/trajectories")
+    out = kv.get("output", "outputs/offline")
+
+    if kv.get("collect", "False").lower() == "true":
+        from isaacgyminsertion_tpu.algo.collect import collect_teacher_rollouts
+        from isaacgyminsertion_tpu.assets import build_subassembly_set
+        from isaacgyminsertion_tpu.envs.config import default_task_config
+        from isaacgyminsertion_tpu.models.actor_critic import ActorCriticSplit
+        from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
+        from isaacgyminsertion_tpu.utils.checkpoint import restore_path
+
+        cfg = default_task_config()
+        model = build_kuka_openhand()
+        subs = build_subassembly_set()
+        net = ActorCriticSplit(num_actions=cfg.env.num_actions,
+                               obs_dim=cfg.env.num_observations,
+                               priv_dim=cfg.env.num_states)
+        tree = restore_path(kv["checkpoint"])
+        n = collect_teacher_rollouts(
+            cfg, model, subs, net, tree["params"], tree["obs_rms"], tree["priv_rms"],
+            n_envs=int(kv.get("num_envs", 16)), out_dir=data_dir,
+            total_trajectories=int(kv.get("total_trajectories", 100)),
+        )
+        print(f"collected {n} trajectories → {data_dir}")
+        return
+
+    from isaacgyminsertion_tpu.algo.offline_runner import OfflineConfig, OfflineRunner
+
+    cfg = OfflineConfig(
+        epochs=int(kv.get("epochs", 10)),
+        batch_size=int(kv.get("batch_size", 256)),
+        only_bc=kv.get("only_bc", "False").lower() == "true",
+    )
+    runner = OfflineRunner(cfg, data_dir, out)
+    metrics = runner.run()
+    print("offline training done:", metrics)
+
+
+if __name__ == "__main__":
+    main()
