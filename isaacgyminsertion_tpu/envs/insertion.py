@@ -214,10 +214,11 @@ def _sample_episode(
     n: int,
     sub_idx: jax.Array,
     base_params: PhysicsParams,
+    grasp_data=None,
 ) -> tuple[PhysicsState, PhysicsParams, dict]:
     """Sample fresh episode state for ALL envs (callers mask into the batch)."""
     rz = cfg.randomize
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 13)
     rows = _gather_shape_rows(subs, sub_idx)
 
     # ---- socket pose (factory_task_insertion.py:1591-1640 distribution)
@@ -260,6 +261,20 @@ def _sample_episode(
         dq = ctrlmod._get_delta_dof_pos(err, J, "dls")
         q = q.at[:, :7].add(jnp.clip(dq, -0.2, 0.2))
 
+    # ---- grasp-dataset override (reference predefined-grasp path,
+    # factory_task_insertion.py:1223-1241): sampled rows replace the analytic
+    # IK pose for envs whose subassembly has recorded rows
+    if grasp_data is not None:
+        counts = jnp.asarray(grasp_data.count)[sub_idx]
+        row = (jax.random.uniform(keys[12], (n,)) * jnp.maximum(counts, 1)).astype(jnp.int32)
+        q_gd = jnp.asarray(grasp_data.dof_pos)[sub_idx, row]
+        s_pos_gd = jnp.asarray(grasp_data.socket_pos)[sub_idx, row]
+        s_quat_gd = jnp.asarray(grasp_data.socket_quat)[sub_idx, row]
+        has = (counts > 0)
+        q = _where(has, q_gd, q)
+        socket_pos = _where(has, s_pos_gd, socket_pos)
+        socket_quat = _where(has, s_quat_gd, socket_quat)
+
     # ---- plug pose: grasped below the fingertip-centered frame
     fk = forward_kinematics(model, q)
     ftc_q, ftc_t = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
@@ -274,6 +289,13 @@ def _sample_episode(
         plug_quat,
         jnp.stack([jnp.zeros((n,)), jnp.zeros((n,)), rows["plug_length"] * 0.8], -1),
     )
+    if grasp_data is not None:
+        # plug rides the recorded plug-in-hand offset of the sampled row
+        ph_pos = jnp.asarray(grasp_data.plug_pos_hand)[sub_idx, row]
+        ph_quat = jnp.asarray(grasp_data.plug_quat_hand)[sub_idx, row]
+        pq_gd, pp_gd = rot.tf_combine(ftc_q, ftc_t, ph_quat, ph_pos)
+        plug_pos = _where(has, pp_gd, plug_pos)
+        plug_quat = _where(has, pq_gd, plug_quat)
 
     # ---- DR over physics params (setup randomizations, SURVEY.md §2.1)
     mass_scale = _uniform(keys[7], (n,), float(rz.plug_mass_scale[0]), float(rz.plug_mass_scale[1]))
@@ -362,13 +384,15 @@ def reset_all(
     subs: SubassemblySet,
     key: jax.Array,
     n: int,
+    grasp_data=None,
 ) -> EnvState:
     """Build a fresh EnvState for the full batch (initial reset)."""
     k_sub, k_ep, k_lat, k_rate, k_off, k_state = jax.random.split(key, 6)
     n_sub = len(subs.names)
     sub_idx = jax.random.randint(k_sub, (n,), 0, n_sub)
     base_params = engine.make_params(subs, sub_idx, n)
-    phys, params, _aux = _sample_episode(cfg, model, subs, k_ep, n, sub_idx, base_params)
+    phys, params, _aux = _sample_episode(cfg, model, subs, k_ep, n, sub_idx, base_params,
+                                         grasp_data=grasp_data)
 
     hist = cfg.env.num_obs_hist * cfg.env.num_observations
     hist_s = cfg.env.num_obs_stud_hist * cfg.env.num_obs_student
@@ -423,7 +447,8 @@ def _pose_in_frame(pos, quat, frame_t, frame_q):
     return rot.tf_combine(inv_q, inv_t, quat, pos)
 
 
-def _reset_idx(cfg, model, subs, state: EnvState, mask: jax.Array, key: jax.Array) -> EnvState:
+def _reset_idx(cfg, model, subs, state: EnvState, mask: jax.Array, key: jax.Array,
+               grasp_data=None) -> EnvState:
     """Masked pure re-init of done envs (reference reset_idx, §3.4)."""
     n = mask.shape[0]
     k_sub, k_ep, k_lat, k_rate, k_off = jax.random.split(key, 5)
@@ -431,7 +456,8 @@ def _reset_idx(cfg, model, subs, state: EnvState, mask: jax.Array, key: jax.Arra
     same = cfg.randomize.same_socket
     new_sub = state.sub_idx if same else jax.random.randint(k_sub, (n,), 0, n_sub)
     sub_idx = jnp.where(mask, new_sub, state.sub_idx)
-    phys_new, params_new, _aux = _sample_episode(cfg, model, subs, k_ep, n, sub_idx, state.params)
+    phys_new, params_new, _aux = _sample_episode(cfg, model, subs, k_ep, n, sub_idx, state.params,
+                                                 grasp_data=grasp_data)
 
     phys = _masked_tree(mask, phys_new, state.phys)
     params = _masked_tree(mask, params_new, state.params)
@@ -588,6 +614,7 @@ def step(
     subs: SubassemblySet,
     state: EnvState,
     policy_actions: jax.Array,
+    grasp_data=None,
 ) -> tuple[EnvState, StepOutput]:
     """One control step of the full env batch. Pure; jit/scan/shard_map-safe."""
     n = policy_actions.shape[0]
@@ -595,7 +622,8 @@ def step(
      k_act_noise, k_force, k_tact, k_img, k_pcl, k_cgt) = jax.random.split(state.rng, 13)
 
     # ---------------- pre-physics: reset done envs (vec_task.step → pre_physics)
-    state = _reset_idx(cfg, model, subs, state, state.reset_buf, k_reset)
+    state = _reset_idx(cfg, model, subs, state, state.reset_buf, k_reset,
+                       grasp_data=grasp_data)
 
     # action DR noise (randomization_params.actions: additive gaussian 0.02)
     actions = jnp.clip(policy_actions, -1.0, 1.0)
