@@ -9,6 +9,8 @@ import os
 
 import numpy as np
 
+from .dataset import list_trajectory_files, open_traj
+
 
 def merge_grasp_datasets(paths: list[str], out_path: str) -> int:
     """Concatenate grasp npz files (pull_grasping_poses.py merge parity)."""
@@ -26,11 +28,11 @@ def merge_grasp_datasets(paths: list[str], out_path: str) -> int:
 
 def inspect_trajectories(data_dir: str) -> dict:
     """Summary stats over a trajectory dataset directory."""
-    files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+    files = list_trajectory_files(data_dir)
     lengths, successes = [], []
     for p in files:
         try:
-            with np.load(p) as d:
+            with open_traj(p) as d:
                 lengths.append(int(d["done_idx"]) + 1)
                 if "success" in d:
                     successes.append(bool(np.asarray(d["success"]).any()))
@@ -46,9 +48,9 @@ def inspect_trajectories(data_dir: str) -> dict:
 def cleanup_corrupt_files(data_dir: str) -> int:
     """Remove unreadable npz files (data_io failed-file cleanup parity)."""
     removed = 0
-    for p in glob.glob(os.path.join(data_dir, "*.npz")):
+    for p in list_trajectory_files(data_dir):
         try:
-            with np.load(p) as d:
+            with open_traj(p) as d:
                 _ = list(d.keys())
         except Exception:
             os.remove(p)

@@ -13,10 +13,31 @@ from __future__ import annotations
 import glob
 import os
 import pickle
+from contextlib import contextmanager
 
 import numpy as np
 
 NORM_KEYS = ("student_obs", "obs", "eef_pos", "plug_pos", "socket_pos")
+
+
+def list_trajectory_files(data_dir: str) -> list[str]:
+    """Trajectory files of either format (.npz numpy / .itraj native writer)."""
+    return sorted(
+        glob.glob(os.path.join(data_dir, "*.npz"))
+        + glob.glob(os.path.join(data_dir, "*.itraj"))
+    )
+
+
+@contextmanager
+def open_traj(path: str):
+    """Uniform reader over .npz and native .itraj files."""
+    if path.endswith(".itraj"):
+        from ..native import read_trajectory
+
+        yield read_trajectory(path)
+    else:
+        with np.load(path) as d:
+            yield d
 
 
 class DataNormalizer:
@@ -30,10 +51,10 @@ class DataNormalizer:
             with open(self.stats_path, "rb") as f:
                 self.stats = pickle.load(f)
             return self.stats
-        files = sorted(glob.glob(os.path.join(self.data_dir, "*.npz")))[:max_files]
+        files = list_trajectory_files(self.data_dir)[:max_files]
         acc: dict[str, list] = {}
         for path in files:
-            with np.load(path) as d:
+            with open_traj(path) as d:
                 for k in NORM_KEYS:
                     if k in d:
                         acc.setdefault(k, []).append(np.asarray(d[k], np.float64))
@@ -57,9 +78,9 @@ class DataNormalizer:
     def remove_failed_trajectories(data_dir: str, min_len: int = 10) -> int:
         """data.py:145 parity: drop trajectories that ended in failure/too short."""
         removed = 0
-        for path in glob.glob(os.path.join(data_dir, "*.npz")):
+        for path in list_trajectory_files(data_dir):
             try:
-                with np.load(path) as d:
+                with open_traj(path) as d:
                     ok = int(d["done_idx"]) >= min_len
                     if "success" in d:
                         ok = ok and bool(np.asarray(d["success"]).any())
@@ -77,7 +98,7 @@ class TrajectoryDataset:
     def __init__(self, data_dir: str, seq_len: int = 1,
                  keys=("student_obs", "actions", "latent"),
                  normalizer: DataNormalizer | None = None):
-        self.files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+        self.files = list_trajectory_files(data_dir)
         if not self.files:
             raise FileNotFoundError(f"no trajectories in {data_dir}")
         self.seq_len = seq_len
@@ -86,7 +107,7 @@ class TrajectoryDataset:
         self._trajs = []
         self._index: list[tuple[int, int]] = []
         for fi, path in enumerate(self.files):
-            with np.load(path) as d:
+            with open_traj(path) as d:
                 traj = {k: np.asarray(d[k]) for k in keys if k in d}
                 done_idx = int(d["done_idx"]) if "done_idx" in d else len(next(iter(traj.values()))) - 1
             self._trajs.append(traj)

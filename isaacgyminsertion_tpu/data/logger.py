@@ -76,8 +76,17 @@ class DataLoggerSim:
     )
 
     def __init__(self, out_dir: str, num_envs: int, max_len: int = 512,
-                 total_trajectories: int = 20000):
-        self.writer = TrajectoryWriter(out_dir)
+                 total_trajectories: int = 20000, use_native: bool = True):
+        self.writer = None
+        if use_native:
+            try:
+                from ..native import NativeTrajectoryWriter
+
+                self.writer = NativeTrajectoryWriter(out_dir)
+            except Exception:
+                self.writer = None
+        if self.writer is None:
+            self.writer = TrajectoryWriter(out_dir)
         self.num_envs = num_envs
         self.max_len = max_len
         self.total_trajectories = total_trajectories

@@ -30,12 +30,14 @@ def test_collect_then_offline_train(tmp_path):
         cfg, MODEL, SUBS, net, pstate.params, pstate.obs_rms, pstate.priv_rms,
         n_envs=4, out_dir=data_dir, total_trajectories=6, chunk=13,
     )
-    files = glob.glob(data_dir + "/*.npz")
+    from isaacgyminsertion_tpu.data.dataset import list_trajectory_files, open_traj
+
+    files = list_trajectory_files(data_dir)
     assert len(files) >= 6
-    with np.load(files[0]) as d:
+    with open_traj(files[0]) as d:
         assert "student_obs" in d and "actions" in d and "latent" in d
         assert d["student_obs"].shape[-1] == 15 and d["actions"].shape[-1] == 6
-        assert int(d["done_idx"]) >= 1
+        assert int(np.asarray(d["done_idx"])) >= 1
 
     stats = DataNormalizer(data_dir).run()
     assert "student_obs" in stats
