@@ -208,6 +208,18 @@ def _balanced_weights(p2: np.ndarray) -> np.ndarray:
     return np.clip(w, 0.05, None)
 
 
+# Static point-set split for contact generation (engine.py): the socket can
+# only touch the plug's lower shaft (hole depth ≤ 10 mm ⇒ engagement zone
+# z ≲ 35 mm even when tilted), and the table is hit by the bottom face or —
+# when toppled — the upper shaft. Testing each against its relevant subset
+# cuts the contact-solver problem size ~40%.
+N_RING = 16
+SOCKET_PT_COUNT = 3 * N_RING + 5 * N_RING + N_RING  # bottom rings + low shell + first high ring
+TABLE_PT_IDX = np.concatenate(
+    [np.arange(3 * N_RING), np.arange(8 * N_RING + 2 * N_RING, 13 * N_RING)]
+).astype(np.int32)  # bottom rings + top 3 shell rings
+
+
 def sample_plug_surface(kind, hx, hy, length, n_ring=16, n_levels=5, n_face=8):
     """Contact sample points + weights on the plug surface (canonical frame).
 

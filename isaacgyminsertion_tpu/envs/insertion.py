@@ -622,8 +622,16 @@ def step(
      k_act_noise, k_force, k_tact, k_img, k_pcl, k_cgt) = jax.random.split(state.rng, 13)
 
     # ---------------- pre-physics: reset done envs (vec_task.step → pre_physics)
-    state = _reset_idx(cfg, model, subs, state, state.reset_buf, k_reset,
-                       grasp_data=grasp_data)
+    # resets are rare (1/max_episode_length steps on average): lax.cond skips
+    # the whole masked-reset computation (IK refinement, DR sampling) on the
+    # steps where no env is done
+    state = jax.lax.cond(
+        jnp.any(state.reset_buf),
+        lambda s: _reset_idx(cfg, model, subs, s, s.reset_buf, k_reset,
+                             grasp_data=grasp_data),
+        lambda s: s,
+        state,
+    )
 
     # action DR noise (randomization_params.actions: additive gaussian 0.02)
     actions = jnp.clip(policy_actions, -1.0, 1.0)

@@ -45,8 +45,10 @@ def default_materials(dtype=jnp.float32) -> MaterialParams:
 
 
 def plug_env_contacts(
-    points_plug: jax.Array,      # [N, P, 3] sample points, plug frame
-    point_weights: jax.Array,    # [N, P] balanced pressure-prior weights
+    socket_points: jax.Array,    # [N, Ps, 3] plug-frame points tested vs socket
+    socket_weights: jax.Array,   # [N, Ps]
+    table_points: jax.Array,     # [N, Pt, 3] plug-frame points tested vs table
+    table_weights: jax.Array,    # [N, Pt]
     plug_q: jax.Array,           # [N, 4]
     plug_pos: jax.Array,         # [N, 3] plug base-origin position (world)
     plug_com_w: jax.Array,       # [N, 3]
@@ -59,14 +61,15 @@ def plug_env_contacts(
     table_height: jax.Array,
     mat: MaterialParams,
 ) -> ContactSet:
-    """Socket-SDF + table contacts at the P plug surface points → [N, 2P]."""
+    """Socket-SDF + table contacts over their respective point subsets
+    (assets.SOCKET_PT_COUNT / TABLE_PT_IDX split) → [N, Ps+Pt]."""
     dtype = plug_pos.dtype
-    p_w = plug_pos[..., None, :] + rot.quat_apply(plug_q[..., None, :], points_plug)
-    r = p_w - plug_com_w[..., None, :]
 
     # ---- socket SDF (socket frame)
+    ps_w = plug_pos[..., None, :] + rot.quat_apply(plug_q[..., None, :], socket_points)
+    rs = ps_w - plug_com_w[..., None, :]
     inv_q, inv_t = rot.tf_inverse(socket_q, socket_pos)
-    p_s = inv_t[..., None, :] + rot.quat_apply(inv_q[..., None, :], p_w)
+    p_s = inv_t[..., None, :] + rot.quat_apply(inv_q[..., None, :], ps_w)
 
     from ..assets import SOCKET_PLATE_HX, SOCKET_PLATE_HY
 
@@ -83,22 +86,24 @@ def plug_env_contacts(
     n_s = rot.quat_apply(socket_q[..., None, :], n_local)  # pushes plug out of socket
 
     shape = d_s.shape
-    zero_v = jnp.zeros_like(p_w)
-    w_pts = jnp.broadcast_to(point_weights, shape)
     cs_socket = ContactSet(
-        r=r, n=n_s, depth=-d_s, v_other=zero_v,
+        r=rs, n=n_s, depth=-d_s, v_other=jnp.zeros_like(ps_w),
         mu=jnp.broadcast_to(mat.mu_socket[..., None], shape),
-        weight=w_pts,
+        weight=jnp.broadcast_to(socket_weights, shape),
         stiffness=jnp.zeros(shape, dtype),
     )
 
     # ---- table halfspace z >= table_height
-    n_t = jnp.zeros_like(p_w).at[..., 2].set(1.0)
+    pt_w = plug_pos[..., None, :] + rot.quat_apply(plug_q[..., None, :], table_points)
+    rt = pt_w - plug_com_w[..., None, :]
+    shape_t = pt_w.shape[:-1]
+    n_t = jnp.zeros_like(pt_w).at[..., 2].set(1.0)
     cs_table = ContactSet(
-        r=r, n=n_t, depth=table_height[..., None] - p_w[..., 2], v_other=zero_v,
-        mu=jnp.broadcast_to(mat.mu_table[..., None], shape),
-        weight=w_pts,
-        stiffness=jnp.zeros(shape, dtype),
+        r=rt, n=n_t, depth=table_height[..., None] - pt_w[..., 2],
+        v_other=jnp.zeros_like(pt_w),
+        mu=jnp.broadcast_to(mat.mu_table[..., None], shape_t),
+        weight=jnp.broadcast_to(table_weights, shape_t),
+        stiffness=jnp.zeros(shape_t, dtype),
     )
     return concat_contacts(cs_socket, cs_table)
 

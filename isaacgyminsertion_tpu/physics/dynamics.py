@@ -44,6 +44,22 @@ def mass_matrix(model: RobotModel, q: jax.Array, fk: FK | None = None, J: jax.Ar
     return M + jnp.diag(jnp.asarray(model.armature, q.dtype))
 
 
+def fk_jacobians_with_tangents(model: RobotModel, q: jax.Array, qd: jax.Array):
+    """One jvp pass producing (fk, J) and their time derivatives.
+
+    The primal (fk, J) serve mass-matrix/site/contact queries; J̇ gives the
+    Coriolis bias acceleration — so the whole substep needs exactly one
+    linearized FK evaluation instead of three separate FK+J computations.
+    """
+
+    def f(qq):
+        fk = forward_kinematics(model, qq)
+        return fk, all_com_jacobians(model, fk)
+
+    (fk, J), (fk_dot, J_dot) = jax.jvp(f, (q,), (qd,))
+    return fk, J, fk_dot, J_dot
+
+
 def bias_forces(
     model: RobotModel,
     q: jax.Array,
@@ -51,6 +67,7 @@ def bias_forces(
     gravity: jax.Array | float = 0.0,
     fk: FK | None = None,
     J: jax.Array | None = None,
+    J_dot: jax.Array | None = None,
 ) -> jax.Array:
     """Generalized bias forces C(q, qd) [..., nd] such that M qdd + C = tau.
 
@@ -63,7 +80,11 @@ def bias_forces(
     m = jnp.asarray(model.mass, q.dtype)
     Iw = _world_inertia(model, fk)
 
-    v, a_bias = jax.jvp(lambda qq: body_velocities(model, qq, qd), (q,), (qd,))
+    if J_dot is not None:
+        v = jnp.einsum("...bij,...j->...bi", J, qd)
+        a_bias = jnp.einsum("...bij,...j->...bi", J_dot, qd)
+    else:
+        v, a_bias = jax.jvp(lambda qq: body_velocities(model, qq, qd), (q,), (qd,))
     vlin, w = v[..., :3], v[..., 3:]
     alin, aw = a_bias[..., :3], a_bias[..., 3:]
 

@@ -195,10 +195,11 @@ def substep(
     h: float,
 ) -> PhysicsState:
     """One physics substep (vectorized over the env batch)."""
-    fk = forward_kinematics(model, state.q)
-    J = all_com_jacobians(model, fk)
+    from .dynamics import fk_jacobians_with_tangents
+
+    fk, J, _fk_dot, J_dot = fk_jacobians_with_tangents(model, state.q, state.qd)
     M = mass_matrix(model, state.q, fk=fk, J=J)
-    C = bias_forces(model, state.q, state.qd, gravity=0.0, fk=fk, J=J)
+    C = bias_forces(model, state.q, state.qd, gravity=0.0, fk=fk, J=J, J_dot=J_dot)
 
     _tip_q, tip_t = fingertip_poses(model, fk)  # [N, 3, 3]
     Jtips = jnp.stack(
@@ -231,8 +232,15 @@ def substep(
         params.kind_onehot, params.plug_hx, params.plug_hy, params.plug_length,
         params.contact,
     )
+    from ..assets import SOCKET_PT_COUNT, TABLE_PT_IDX
+
+    tbl_idx = jnp.asarray(TABLE_PT_IDX)
     cs_env = plug_env_contacts(
-        params.surface_points, params.surface_weights, state.plug_quat, state.plug_pos, com_w,
+        params.surface_points[:, :SOCKET_PT_COUNT],
+        params.surface_weights[:, :SOCKET_PT_COUNT],
+        params.surface_points[:, tbl_idx],
+        params.surface_weights[:, tbl_idx],
+        state.plug_quat, state.plug_pos, com_w,
         params.socket_quat, params.socket_pos, params.kind_onehot,
         params.hole_hx, params.hole_hy, params.socket_height, params.table_height,
         params.contact,
