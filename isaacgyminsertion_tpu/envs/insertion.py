@@ -677,6 +677,27 @@ def step(
     q_target = ctrlmod.compute_dof_pos_target(
         state.phys.q[:, :7], ftc_t, ftc_q, J_ftc, target_pos, target_quat, gripper_target,
     )
+    tau_cmd = jnp.zeros_like(q_target)
+    torque_mask = jnp.zeros((15,), q_target.dtype)
+    if cfg.ctrl_type != "gym_default" and cfg.ctrl_type != "joint_space_ik":
+        # torque-control modes (factory_base generate_ctrl_signals → fc.
+        # compute_dof_torque): arm rows torque-driven, gripper rows stay PD
+        ctrl_cfg = ctrlmod.DEFAULT_CTRL_CFGS[cfg.ctrl_type]
+        tip_vel6 = jnp.einsum("...ij,...j->...i", point_jacobian(model, fk, ftc_t, 6),
+                              state.phys.qd)
+        from ..physics.dynamics import mass_matrix as _mm
+
+        M_arm = _mm(model, state.phys.q)[:, :7, :7]
+        wrench_target = jnp.zeros((n, 6))
+        if cfg.rl.unidirectional_force:
+            wrench_target = wrench_target.at[:, 2].set(-1.0)
+        tau_cmd = ctrlmod.compute_dof_torque(
+            ctrl_cfg, state.phys.q, state.phys.qd, ftc_t, ftc_q,
+            tip_vel6[..., :3], tip_vel6[..., 3:],
+            state.phys.tip_forces[:, 0], state.phys.tip_forces[:, 1],
+            J_ftc, M_arm, gripper_target, target_pos, target_quat, wrench_target,
+        )
+        torque_mask = jnp.concatenate([jnp.ones((7,)), jnp.zeros((8,))])
 
     # random plug disturbance wrench (OpenAI-Dactyl-style, :667-680)
     rbf = state.rb_force * (0.99 ** (cfg.sim.dt / 0.08)) if cfg.randomize.force_scale > 0 else state.rb_force * 0.0
@@ -689,8 +710,8 @@ def step(
 
     ctrl = ControlInput(
         q_target=q_target,
-        tau_cmd=jnp.zeros_like(q_target),
-        torque_mode_mask=jnp.zeros((15,), q_target.dtype),
+        tau_cmd=tau_cmd,
+        torque_mode_mask=torque_mask,
         plug_wrench=wrench,
     )
 
