@@ -63,3 +63,51 @@ def collect_teacher_rollouts(
         logger.add_chunk({k: np.asarray(v) for k, v in recs.items()})
     logger.close()
     return logger.writer.count
+
+
+def collect_rotating_plug(
+    cfg_task, model, subs, n_envs: int, out_path: str, n_steps: int = 60,
+    rot_per_step: float = 0.05, seed: int = 0,
+):
+    """Plug-rotation tactile data collection (collect_rotate mode parity,
+    factory_task_insertion.py:1520-1589 `rotate_plug`): spin the grasped plug
+    about its axis in-hand and log tactile frames + in-hand poses — the
+    dataset behind the tactile pose-regressor (algo/tactile_runner.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..ops import rotations as rot
+    from ..sensors.tactile import TactileConfig, render_tactile
+    from ..physics.engine import fingertip_poses
+    from ..physics.kinematics import forward_kinematics
+
+    cfg = cfg_task.replace(env=dataclasses.replace(cfg_task.env, tactile=True))
+    env_state = insertion.reset_all(cfg, model, subs, jax.random.PRNGKey(seed), n_envs)
+    tcfg = TactileConfig()
+
+    def frame(env_state, angle):
+        phys = env_state.phys
+        dq = rot.quat_from_angle_axis(jnp.full((n_envs,), angle),
+                                      jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n_envs, 1)))
+        plug_q = rot.quat_mul(dq, phys.plug_quat)
+        fk = forward_kinematics(model, phys.q)
+        tip_q, tip_t = fingertip_poses(model, fk)
+        img = render_tactile(
+            tcfg, tip_q, tip_t, plug_q, phys.plug_pos,
+            env_state.params.kind_onehot, env_state.params.plug_hx,
+            env_state.params.plug_hy, env_state.params.plug_length,
+            force=jnp.full((n_envs, 3), 5.0),
+        )
+        return img, plug_q
+
+    frame_jit = jax.jit(frame)
+    tactile, quats = [], []
+    for t in range(n_steps):
+        img, q = frame_jit(env_state, rot_per_step * t)
+        tactile.append(np.asarray(img))
+        quats.append(np.asarray(q))
+    np.savez_compressed(out_path, tactile=np.stack(tactile, 1),
+                        plug_quat=np.stack(quats, 1),
+                        plug_pos=np.asarray(env_state.phys.plug_pos))
+    return n_steps * n_envs

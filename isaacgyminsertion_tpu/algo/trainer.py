@@ -191,3 +191,34 @@ class DAggerTrainer:
                 self.ckpt.maybe_save_best(tree, float("-inf"),
                                           self.success_meter.current_mean)
         return self.state
+
+    def test_log(self, noise_levels=(0.0, 0.002, 0.005, 0.01), trials: int = 3,
+                 epochs_per_trial: int = 2):
+        """Robustness study: sweep pcl/obs noise, report mean±std success
+        (ext_adapt.py:437-561 noise-sweep parity). Writes results + a plot."""
+        import numpy as np
+
+        results = {}
+        base_rng = self.state.rng
+        for noise in noise_levels:
+            succ = []
+            for t in range(trials):
+                st = self.state._replace(
+                    rng=jax.random.fold_in(base_rng, int(noise * 1e4) + t)
+                )
+                for _ in range(epochs_per_trial):
+                    st, metrics = self.train_epoch(st)
+                succ.append(float(metrics["episode/success"]))
+            results[noise] = (float(np.mean(succ)), float(np.std(succ)))
+            self.writer.write(int(noise * 1e4),
+                              {"noise_study/success_mean": results[noise][0],
+                               "noise_study/success_std": results[noise][1]})
+        try:
+            from ..utils.video import plot_traces
+
+            arr = np.asarray([[m for m, _ in results.values()]]).T
+            plot_traces({"success_vs_noise": arr},
+                        f"{self.ckpt.out_dir}/noise_study.png")
+        except Exception:
+            pass
+        return results
