@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..assets import SubassemblySet
 from ..ops import control as ctrlmod
+from ..ops import f32_matmul
 from ..ops import rotations as rot
 from ..physics import engine
 from ..physics.engine import ControlInput, PhysicsParams, PhysicsState
@@ -378,6 +379,7 @@ def _sensor_queue_shapes(cfg: TaskConfig, subs: SubassemblySet, n: int) -> dict:
     )
 
 
+@f32_matmul
 def reset_all(
     cfg: TaskConfig,
     model: RobotModel,
@@ -578,6 +580,7 @@ def _physics_params_vec(cfg, state: EnvState) -> jax.Array:
     )
 
 
+@f32_matmul
 def priv_info_of(cfg: TaskConfig, model: RobotModel, state: EnvState) -> jax.Array:
     """Recompute the 64-dim privileged state from the current EnvState.
 
@@ -608,6 +611,7 @@ def priv_info_of(cfg: TaskConfig, model: RobotModel, state: EnvState) -> jax.Arr
     )
 
 
+@f32_matmul
 def step(
     cfg: TaskConfig,
     model: RobotModel,

@@ -25,6 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import f32_matmul
 from ..ops import rotations as rot
 from .contact import (
     FINGERTIP_RADIUS,
@@ -187,6 +188,7 @@ def _com_of(state: PhysicsState, params: PhysicsParams):
     return state.plug_pos + rot.quat_apply(state.plug_quat, off)
 
 
+@f32_matmul
 def substep(
     model: RobotModel,
     params: PhysicsParams,
@@ -291,6 +293,7 @@ def substep(
     )
 
 
+@f32_matmul
 def step(
     model: RobotModel,
     params: PhysicsParams,
