@@ -49,6 +49,11 @@ from .solver import position_correction, solve_contacts
 FINGER_SITES = (SITE_FINGER_1, SITE_FINGER_2, SITE_FINGER_3)
 FINGER_BODIES = (9, 12, 14)
 SOLVER_ITERS = 16  # parity: PhysX num_position_iterations 16
+# PhysX rigid-body velocity caps (maxAngularVelocity default 64 rad/s); the
+# explicit gyroscopic term grows quadratically in ω, so an uncapped spin from
+# a harsh contact diverges within a few substeps
+MAX_ANG_VEL = 64.0
+MAX_LIN_VEL = 100.0
 
 
 class PhysicsState(NamedTuple):
@@ -249,10 +254,24 @@ def substep(
     )
     cs = concat_contacts(cs_fing, cs_env)  # finger contacts occupy slots [0:3]
     # split-impulse: zero-bias velocity solve (no momentum from depenetration),
-    # then positional projection (solver.position_correction)
-    res = solve_contacts(params.plug_mass, I_inv_w, v_free, w_free, cs, h,
-                         iters=SOLVER_ITERS, beta=0.0)
-    dx_corr, dth_corr = position_correction(params.plug_mass, I_inv_w, cs)
+    # then positional projection. On TPU both phases run as ONE fused Pallas
+    # kernel (solver_pallas.py) keeping the contact set in VMEM across all
+    # iterations; elsewhere the XLA lax.scan reference path runs.
+    if jax.default_backend() == "tpu":
+        from .solver_pallas import solve_contacts_fused
+
+        fused = solve_contacts_fused(params.plug_mass, I_inv_w, v_free, w_free,
+                                     cs, h, iters=SOLVER_ITERS)
+        res = fused
+        dx_corr, dth_corr = fused.dx, fused.dth
+    else:
+        res = solve_contacts(params.plug_mass, I_inv_w, v_free, w_free, cs, h,
+                             iters=SOLVER_ITERS, beta=0.0)
+        dx_corr, dth_corr = position_correction(params.plug_mass, I_inv_w, cs)
+    res = res._replace(
+        v=jnp.clip(res.v, -MAX_LIN_VEL, MAX_LIN_VEL),
+        w=jnp.clip(res.w, -MAX_ANG_VEL, MAX_ANG_VEL),
+    )
 
     # fingertip reaction (impulse → force): slots 0:3 of the contact set
     f_on_plug_fing = (cs.n[..., :3, :] * res.lam_n[..., :3, None] + res.lam_t[..., :3, :]) / h
