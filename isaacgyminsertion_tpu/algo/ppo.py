@@ -199,8 +199,8 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx):
         priv_rms = rms_update(state.priv_rms, traj.priv) if ppo_cfg.normalize_input else state.priv_rms
         value_rms = rms_update(state.value_rms, returns) if ppo_cfg.normalize_value else state.value_rms
 
-        returns_n = rms_normalize(value_rms, returns, clip=jnp.inf) if ppo_cfg.normalize_value else returns
-        values_n = rms_normalize(value_rms, traj.values, clip=jnp.inf) if ppo_cfg.normalize_value else traj.values
+        returns_n = rms_normalize(value_rms, returns, clip=1e6) if ppo_cfg.normalize_value else returns
+        values_n = rms_normalize(value_rms, traj.values, clip=1e6) if ppo_cfg.normalize_value else traj.values
 
         # flatten [T, N, ...] → [B, ...]
         def fl(x):

@@ -116,7 +116,7 @@ class PointMAE(nn.Module):
     def __call__(self, pts, mask):  # pts [B, P, 3], mask [B, P] 1=visible
         x = nn.relu(nn.Dense(64)(pts))
         x = nn.relu(nn.Dense(self.embed_dim)(x))
-        x = jnp.where(mask[..., None] > 0, x, -jnp.inf)
+        x = jnp.where(mask[..., None] > 0, x, -1e30)
         feat = jnp.max(x, axis=-2)  # masked max-pool
         h = nn.relu(nn.Dense(self.embed_dim)(feat))
         out = nn.Dense(self.num_out_points * 3)(h)

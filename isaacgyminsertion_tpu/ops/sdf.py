@@ -45,7 +45,7 @@ TRAPEZOID_TOP_RATIO = 0.6
 
 def sd_circle(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
     del hy
-    return jnp.linalg.norm(p, axis=-1) - hx
+    return _safe_norm(p) - hx
 
 
 def sd_box2d(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
@@ -68,11 +68,15 @@ def sd_hexagon(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
 
 
 def sd_ellipse(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
-    """Approximate ellipse SDF: d = k0*(k0-1)/k1 (exact on axes)."""
+    """Approximate ellipse SDF: d = k0*(k0-1)/k1 (exact on axes).
+
+    All norms are gradient-safe (_safe_norm): these SDFs are differentiated
+    for contact normals, and a plain norm/sqrt has a NaN gradient exactly at
+    its zero — which then poisons every kind through the one-hot blend
+    (0 · NaN = NaN in the vjp)."""
     ab = jnp.stack([hx, hy], axis=-1)
-    k0 = jnp.linalg.norm(p / ab, axis=-1)
-    k1 = jnp.linalg.norm(p / (ab * ab), axis=-1).clip(1e-9)
-    # the k0*(k0-1)/k1 form degenerates at the exact center; fall back there
+    k0 = _safe_norm(p / ab)
+    k1 = _safe_norm(p / (ab * ab)).clip(1e-9)
     return jnp.where(k0 < 1e-6, -jnp.minimum(hx, hy), k0 * (k0 - 1.0) / k1)
 
 
@@ -102,7 +106,9 @@ def sd_trapezoid(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:
     cb = pq - k1 + k2 * t[..., None]
     s = jnp.where((cb[..., 0] < 0.0) & (ca[..., 1] < 0.0), -1.0, 1.0)
     d2 = jnp.minimum(jnp.sum(ca * ca, axis=-1), jnp.sum(cb * cb, axis=-1))
-    return s * jnp.sqrt(d2)
+    # +eps: sqrt'(0) = inf exactly on the outline — a contact point landing
+    # there poisons all section kinds through the one-hot blend vjp
+    return s * jnp.sqrt(d2 + 1e-18)
 
 
 def sd_triangle_iso(p: jax.Array, hx: jax.Array, hy: jax.Array) -> jax.Array:

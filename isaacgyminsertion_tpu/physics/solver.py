@@ -83,13 +83,14 @@ def solve_contacts(
 
         dlam = (bias - v_n) * m_eff_n
         lam_n_new = jnp.maximum(lam_n + dlam, 0.0)
-        # compliant contacts: cap accumulated impulse at the gel spring force
-        soft_cap = jnp.where(
-            cs.stiffness > 0.0,
-            h * cs.stiffness * jnp.maximum(cs.depth, 0.0),
-            jnp.inf,
+        # compliant contacts: cap accumulated impulse at the gel spring force.
+        # NOTE: no inf literal here — XLA's algebraic simplifier can rewrite
+        # inf-bearing selects into 0·inf=NaN forms (observed: jit produced
+        # NaNs while the de-optimized graph was clean).
+        soft_cap = h * cs.stiffness * jnp.maximum(cs.depth, 0.0)
+        lam_n_new = jnp.where(
+            cs.stiffness > 0.0, jnp.minimum(lam_n_new, soft_cap), lam_n_new
         )
-        lam_n_new = jnp.minimum(lam_n_new, soft_cap)
         dlam = lam_n_new - lam_n
 
         imp = cs.n * dlam[..., None]

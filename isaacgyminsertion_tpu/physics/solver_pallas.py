@@ -69,7 +69,8 @@ def _solver_kernel(
     n_active = jnp.maximum(jnp.sum(active, axis=1, keepdims=True), 1.0)
     mass = 1.0 / jnp.maximum(inv_m, 1e-12)
     m_eff = active * mass / n_active
-    soft_cap = jnp.where(ST > 0.0, h * ST * jnp.maximum(D, 0.0), f32(3.4e38))
+    soft_cap_val = h * ST * jnp.maximum(D, 0.0)
+    is_soft = ST > 0.0
 
     lam_n = jnp.zeros_like(D)
     ltx = jnp.zeros_like(D)
@@ -97,7 +98,8 @@ def _solver_kernel(
         vcy = vy + (wz * RX - wx * RZ) - VOY
         vcz = vz + (wx * RY - wy * RX) - VOZ
         vn = NX * vcx + NY * vcy + NZ * vcz
-        lam_new = jnp.minimum(jnp.maximum(lam_n - vn * m_eff, 0.0), soft_cap)
+        lam_new = jnp.maximum(lam_n - vn * m_eff, 0.0)
+        lam_new = jnp.where(is_soft, jnp.minimum(lam_new, soft_cap_val), lam_new)
         dl = lam_new - lam_n
         lam_n = lam_new
         vx, vy, vz, wx, wy, wz = apply_impulse(
