@@ -1,0 +1,39 @@
+"""DAgger with the full visuotactile modality set (tiny CPU smoke)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from isaacgyminsertion_tpu.algo import ext_adapt as ea
+from isaacgyminsertion_tpu.algo import ppo as ppo_mod
+from isaacgyminsertion_tpu.assets import build_subassembly_set
+from isaacgyminsertion_tpu.envs.config import default_task_config
+from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
+
+MODEL = build_kuka_openhand()
+SUBS = build_subassembly_set()
+
+
+def test_dagger_with_seg_pcl_tactile():
+    """train_s2.sh configuration: student on seg+pcl (+tactile) modalities."""
+    cfg0 = default_task_config()
+    cfg = cfg0.replace(env=dataclasses.replace(
+        cfg0.env, tactile=True, external_cam=True, depth_cam=True,
+        seg_cam=True, pcl_cam=True,
+    ))
+    ppo_cfg = ppo_mod.PPOConfig(horizon=2, mini_epochs=2)
+    _, _, ps, _ = ppo_mod.build(cfg, ppo_cfg, MODEL, SUBS, 2, jax.random.PRNGKey(0))
+    teacher = ea.TeacherBundle(ps.params, ps.obs_rms, ps.priv_rms)
+    da = ea.DAggerConfig(horizon=2, mini_epochs=1, use_obs=True, use_tactile=True,
+                         use_img=True, use_seg=True, use_pcl=True)
+    student, tx, ds, train_epoch = ea.build(cfg, da, MODEL, SUBS, 2, teacher,
+                                            jax.random.PRNGKey(1))
+    step = jax.jit(train_epoch)
+    for _ in range(2):
+        ds, m = step(ds)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["action_loss"]))
+    # student params updated and finite
+    for leaf in jax.tree_util.tree_leaves(ds.student_params):
+        assert bool(np.isfinite(np.asarray(leaf)).all())
