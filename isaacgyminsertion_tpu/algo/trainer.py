@@ -11,7 +11,6 @@ periodic full-episode evaluations, and logs to TB/JSONL.
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ what the grasp datasets encode (SURVEY.md §2.1 grasp-generation task).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,13 +35,7 @@ from ..ops import rotations as rot
 from ..physics import engine
 from ..physics.engine import ControlInput, PhysicsParams, PhysicsState
 from ..physics.kinematics import forward_kinematics, point_jacobian, site_pose
-from ..physics.robot import (
-    SITE_FINGER_1,
-    SITE_FINGER_2,
-    SITE_FINGER_3,
-    SITE_FINGERTIP_CENTERED,
-    RobotModel,
-)
+from ..physics.robot import SITE_FINGERTIP_CENTERED, RobotModel
 from ..sensors import camera as cam_mod
 from ..sensors import contact_gt as cgt_mod
 from ..sensors import pcl as pcl_mod

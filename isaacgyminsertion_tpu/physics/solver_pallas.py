@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .solver import ContactSet, SolveResult
+from .solver import ContactSet
 
 BLOCK_B = 64
 LANE = 128
