@@ -75,3 +75,28 @@ def test_mutation_ranges():
         assert 0.01 <= out["e_clip"] <= 0.3
         assert 1 <= out["mini_epochs"] <= 16
         assert out["learning_rate"] > 0
+
+
+def test_pbt_driver_population_roundrobin(tmp_path):
+    """In-process PBT driver: population trains, checkpoints, and exchanges."""
+    import jax
+
+    from isaacgyminsertion_tpu.algo.ppo import PPOConfig
+    from isaacgyminsertion_tpu.assets import build_subassembly_set
+    from isaacgyminsertion_tpu.envs.config import default_task_config
+    from isaacgyminsertion_tpu.pbt.driver import run_pbt_population
+    from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
+
+    members = run_pbt_population(
+        default_task_config(), PPOConfig(horizon=2, mini_epochs=2),
+        build_kuka_openhand(), build_subassembly_set(), n_envs=4,
+        pbt_params=PbtParams(num_policies=2, workspace=str(tmp_path),
+                             start_after_steps=0, initial_delay_steps=0),
+        epochs_per_interval=1, intervals=2,
+    )
+    assert len(members) == 2
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "p*.pbt"))) >= 2
+    for m in members:
+        assert np.isfinite(m["objective"])
