@@ -61,6 +61,7 @@ class EnvState(NamedTuple):
     actions_queue: jax.Array       # [N, Q, 6] newest at index 0
     action_latency: jax.Array      # [N] i32
     targets: jax.Array             # [N, 6] accumulated pose targets (logging parity)
+    gripper_target: jax.Array      # [N, 8] held grasp closure targets (set at reset)
     # observation staleness state
     obs_queue: jax.Array           # [N, hist*obs]
     obs_stud_queue: jax.Array      # [N, hist*obs_stud]
@@ -292,6 +293,49 @@ def _sample_episode(
         plug_pos = _where(has, pp_gd, plug_pos)
         plug_quat = _where(has, pq_gd, plug_quat)
 
+    # ---- close the hand ONTO the plug: bisect the closure fraction until the
+    # pads indent the gel ~2.5 mm. The reference closes the hand under
+    # simulation (staged close, factory_task_insertion.py:1955-1973); a
+    # teleported fixed closure interpenetrates wide plugs by >1 cm and the gel
+    # springs eject the plug.
+    from ..ops import sdf as sdfm
+    from ..physics.contact import FINGERTIP_RADIUS
+
+    prox_idx = jnp.asarray([8, 11, 13])
+    dist_idx = jnp.asarray([9, 12, 14])
+    prox_closed = q[:, prox_idx]
+    dist_closed = q[:, dist_idx]
+
+    def hand_at(f):
+        qf = q.at[:, prox_idx].set(oh.proximal_open + f * (prox_closed - oh.proximal_open))
+        return qf.at[:, dist_idx].set(oh.distal_open + f * (dist_closed - oh.distal_open))
+
+    inv_pq, inv_pt = rot.tf_inverse(plug_quat, plug_pos)
+
+    def pad_depth(qf):
+        fkh = forward_kinematics(model, qf)
+        _, tips = engine.fingertip_poses(model, fkh)
+        tl = inv_pt[:, None, :] + rot.quat_apply(inv_pq[:, None, :], tips)
+        d = sdfm.plug_sdf(tl, rows["kind_onehot"][:, None, :], rows["plug_hx"][:, None],
+                          rows["plug_hy"][:, None], rows["plug_length"][:, None])
+        return FINGERTIP_RADIUS - d  # per-finger gel indentation [n, 3]
+
+    # per-finger bisection so ALL THREE pads land at the same indentation — a
+    # shared closure fraction leaves one pad poking alone, which spins the
+    # plug out of the hand
+    target_depth = 0.0025
+    lo = jnp.zeros((n, 3))
+    hi = jnp.ones((n, 3))
+    for _ in range(10):
+        mid = 0.5 * (lo + hi)
+        too_deep = pad_depth(hand_at(mid)) > target_depth
+        hi = jnp.where(too_deep, mid, hi)
+        lo = jnp.where(too_deep, lo, mid)
+    f_touch = 0.5 * (lo + hi)
+    q = hand_at(f_touch)
+    # PD closure target slightly past touching keeps the grip active
+    gripper_target = hand_at(jnp.minimum(f_touch + 0.04, 1.0))[:, 7:]
+
     # ---- DR over physics params (setup randomizations, SURVEY.md §2.1)
     mass_scale = _uniform(keys[7], (n,), float(rz.plug_mass_scale[0]), float(rz.plug_mass_scale[1]))
     plug_fric_scale = _uniform(keys[8], (n,), float(rz.plug_friction_scale[0]), float(rz.plug_friction_scale[1]))
@@ -347,6 +391,7 @@ def _sample_episode(
         ftc_q=ftc_q,
         ftc_t=ftc_t,
         mass_scale=mass_scale,
+        gripper_target=gripper_target,
     )
     return phys, params, aux
 
@@ -409,6 +454,7 @@ def reset_all(
         actions_queue=jnp.zeros((n, ACTION_QUEUE_LEN, 6), jnp.float32),
         action_latency=jax.random.randint(k_lat, (n,), 0, 2),
         targets=jnp.zeros((n, 6), jnp.float32),
+        gripper_target=_aux["gripper_target"],
         obs_queue=jnp.zeros((n, hist), jnp.float32),
         obs_stud_queue=jnp.zeros((n, hist_s), jnp.float32),
         obs_plug_pos_freq=phys.plug_pos,
@@ -484,6 +530,7 @@ def _reset_idx(cfg, model, subs, state: EnvState, mask: jax.Array, key: jax.Arra
         actions_queue=_where(mask, jnp.zeros_like(state.actions_queue), state.actions_queue),
         action_latency=jnp.where(mask, lat, state.action_latency),
         targets=_where(mask, zero6, state.targets),
+        gripper_target=_where(mask, _aux["gripper_target"], state.gripper_target),
         obs_queue=_where(mask, jnp.zeros_like(state.obs_queue), state.obs_queue),
         obs_stud_queue=_where(mask, jnp.zeros_like(state.obs_stud_queue), state.obs_stud_queue),
         obs_plug_pos_freq=_where(mask, phys_new.plug_pos, state.obs_plug_pos_freq),
@@ -671,7 +718,11 @@ def step(
 
     J_ftc = point_jacobian(model, fk, ftc_t, 6)[..., :7]  # [N, 6, 7]
     oh = cfg.env.openhand
-    gripper_target = state.phys.q[:, 7:]  # hold the grasp (ctrl_target_gripper_dof_pos)
+    # constant closure target from reset (reference holds
+    # ctrl_target_gripper_dof_pos across the episode, factory_task_insertion
+    # .py:1868-1871); re-targeting the CURRENT finger pose would make the grip
+    # zero-stiffness and let the plug slip laterally
+    gripper_target = state.gripper_target
     q_target = ctrlmod.compute_dof_pos_target(
         state.phys.q[:, :7], ftc_t, ftc_q, J_ftc, target_pos, target_quat, gripper_target,
     )

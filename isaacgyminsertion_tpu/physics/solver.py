@@ -68,6 +68,7 @@ def solve_contacts(
                     max_depenetration_velocity)
 
     inv_m = (1.0 / mass)[..., None]                        # [N, 1]
+    mass_b = mass[..., None]                               # [N, 1]
     # Weighted translational mass-splitting: contact i sees w_i·m/Σw. Including
     # the angular (r×n)ᵀI⁻¹(r×n) term in the denominator makes per-contact
     # impulses asymmetric across a symmetric manifold, which injects spurious
@@ -82,15 +83,27 @@ def solve_contacts(
         v_n = jnp.einsum("...ci,...ci->...c", cs.n, v_c)
 
         dlam = (bias - v_n) * m_eff_n
-        lam_n_new = jnp.maximum(lam_n + dlam, 0.0)
-        # compliant contacts: cap accumulated impulse at the gel spring force.
-        # NOTE: no inf literal here — XLA's algebraic simplifier can rewrite
-        # inf-bearing selects into 0·inf=NaN forms (observed: jit produced
-        # NaNs while the de-optimized graph was clean).
-        soft_cap = h * cs.stiffness * jnp.maximum(cs.depth, 0.0)
-        lam_n_new = jnp.where(
-            cs.stiffness > 0.0, jnp.minimum(lam_n_new, soft_cap), lam_n_new
-        )
+        lam_rigid = jnp.maximum(lam_n + dlam, 0.0)
+        # Compliant (gel) contacts are spring-dampers, not accumulated
+        # projections: a RESTING contact must still carry λ = h·k·depth or the
+        # friction cone μλ collapses to zero and the grasp holds nothing
+        # (zero-bias velocity solves produce impulses only against approach
+        # velocity). λ is recomputed per iteration from the current normal
+        # velocity — it converges to the spring-damper force.
+        # NOTE: no inf literals — XLA's algebraic simplifier can rewrite
+        # inf-bearing selects into 0·inf=NaN forms.
+        # Explicit spring-dampers are conditionally stable; both terms are
+        # impulse-clamped against the per-contact effective mass so light
+        # DR'd plugs (ωh ≈ 1.8) cannot ring or explode:
+        #   spring impulse ≤ 0.25·m_eff·depth/h   (≤25% depenetration/substep)
+        #   damping coeff  ≤ 0.5·m_eff/h
+        d_pos = jnp.maximum(cs.depth, 0.0)
+        spring_imp = jnp.minimum(h * cs.stiffness * d_pos,
+                                 0.25 * m_eff_n * d_pos / h)
+        c_imp = jnp.minimum(0.5 * jnp.sqrt(cs.stiffness * mass_b) * h,
+                            0.5 * m_eff_n)
+        lam_soft = jnp.maximum(spring_imp - c_imp * v_n, 0.0) * (cs.depth > 0.0)
+        lam_n_new = jnp.where(cs.stiffness > 0.0, lam_soft, lam_rigid)
         dlam = lam_n_new - lam_n
 
         imp = cs.n * dlam[..., None]

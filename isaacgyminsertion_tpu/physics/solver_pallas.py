@@ -69,8 +69,10 @@ def _solver_kernel(
     n_active = jnp.maximum(jnp.sum(active, axis=1, keepdims=True), 1.0)
     mass = 1.0 / jnp.maximum(inv_m, 1e-12)
     m_eff = active * mass / n_active
-    soft_cap_val = h * ST * jnp.maximum(D, 0.0)
+    # impulse-clamped gel spring-damper (see solver.py for the stability math)
+    d_pos = jnp.maximum(D, 0.0)
     is_soft = ST > 0.0
+    soft_active = jnp.where(D > 0.0, 1.0, 0.0)
 
     lam_n = jnp.zeros_like(D)
     ltx = jnp.zeros_like(D)
@@ -98,8 +100,13 @@ def _solver_kernel(
         vcy = vy + (wz * RX - wx * RZ) - VOY
         vcz = vz + (wx * RY - wy * RX) - VOZ
         vn = NX * vcx + NY * vcy + NZ * vcz
-        lam_new = jnp.maximum(lam_n - vn * m_eff, 0.0)
-        lam_new = jnp.where(is_soft, jnp.minimum(lam_new, soft_cap_val), lam_new)
+        lam_rigid = jnp.maximum(lam_n - vn * m_eff, 0.0)
+        # soft gel contacts: impulse-clamped spring-damper — resting contacts
+        # must carry λ ≈ h·k·depth so the friction cone can hold the grasp
+        spring_imp = jnp.minimum(h * ST * d_pos, 0.25 * m_eff * d_pos / h)
+        c_imp = jnp.minimum(0.5 * jnp.sqrt(ST * mass) * h, 0.5 * m_eff)
+        lam_soft = jnp.maximum(spring_imp - c_imp * vn, 0.0) * soft_active
+        lam_new = jnp.where(is_soft, lam_soft, lam_rigid)
         dl = lam_new - lam_n
         lam_n = lam_new
         vx, vy, vz, wx, wy, wz = apply_impulse(
