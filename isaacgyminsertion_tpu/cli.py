@@ -84,6 +84,7 @@ def parse_args(argv: list[str] | None = None) -> dict:
         seed=42,
         output="outputs/run",
         max_epochs=None,
+        collect_rotate=False,
     )
     for arg in argv:
         if "=" not in arg:
@@ -102,6 +103,8 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["output"] = str(val)
         elif k in ("max_epochs",):
             out["max_epochs"] = int(val)
+        elif k in ("task.collect_rotate", "collect_rotate"):
+            out["collect_rotate"] = bool(val)
         elif k == "task":
             pass  # single task family; accepted for recipe compatibility
         elif k in _KEYMAP:
@@ -134,6 +137,16 @@ def main(argv: list[str] | None = None):
     args = parse_args(argv)
     model = build_kuka_openhand()
     subs = build_subassembly_set()
+
+    if args["collect_rotate"]:
+        # plug-rotation tactile collection mode (scripts/collect_rotate.sh)
+        from .algo.collect import collect_rotating_plug
+
+        n = collect_rotating_plug(args["task"], model, subs,
+                                  n_envs=args["num_envs"],
+                                  out_path=f"{args['output']}_rotate.npz")
+        print(f"collected {n} rotating-plug tactile frames")
+        return
 
     if args["algo"] == "PPO":
         trainer = PPOTrainer(args["task"], args["ppo"], model, subs,

@@ -156,6 +156,10 @@ class RLConfig:
 @dataclass(frozen=True)
 class TaskConfig:
     name: str = "FactoryTaskInsertionTactile"
+    # NOTE: resets always perform the analytic grasp-at-init (per-finger
+    # contact-aware closure bisection in envs/insertion.py); this flag is kept
+    # for recipe compatibility — the reference's alternative (replaying
+    # recorded grasp rows) is selected by passing `grasp_data` instead.
     grasp_at_init: bool = False
     collect_rotate: bool = False
     reset_at_success: bool = False
