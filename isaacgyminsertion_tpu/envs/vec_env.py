@@ -89,8 +89,41 @@ def _make_insertion(cfg=None, num_envs=128, **kw):
     return InsertionVecEnv(cfg=cfg, num_envs=num_envs, **kw)
 
 
+class GraspGenTask:
+    """FactoryTaskGraspTactile equivalent: drives envs/grasp_gen.py."""
+
+    def __init__(self, cfg=None, num_envs=128, **kw):
+        self.cfg = cfg or default_task_config()
+        self.num_envs = num_envs
+        self.model = build_kuka_openhand()
+        self.subs = build_subassembly_set()
+
+    def run(self, n_rounds: int, out_path: str, **kw) -> int:
+        from .grasp_gen import generate_grasp_dataset
+
+        return generate_grasp_dataset(self.cfg, self.model, self.subs,
+                                      self.num_envs, n_rounds, out_path, **kw)
+
+
+class SysIdTask:
+    """FactoryTaskOptimizeTactile equivalent: drives sysid.py TPE."""
+
+    def __init__(self, cfg=None, num_envs=1, **kw):
+        self.cfg = cfg or default_task_config()
+        self.model = build_kuka_openhand()
+        self.subs = build_subassembly_set()
+
+    def run(self, recorded: dict, n_trials: int = 50, **kw):
+        from ..sysid import optimize_sim_params
+
+        return optimize_sim_params(self.cfg, self.model, self.subs, recorded,
+                                   n_trials=n_trials, **kw)
+
+
 task_map = {
     "FactoryTaskInsertionTactile": _make_insertion,
+    "FactoryTaskGraspTactile": GraspGenTask,
+    "FactoryTaskOptimizeTactile": SysIdTask,
 }
 
 
