@@ -100,6 +100,19 @@ def _student_inputs(da_cfg: DAggerConfig, state: DAggerState, out_obs, out):
     return inp
 
 
+def decoder_only_mask(student_params) -> Any:
+    """Trainable-mask for phase-3 restores (ext_adapt.py ~1135-1150): freeze
+    everything except the token-fusion decoder and the latent head."""
+    def mark(path_leaf):
+        path, leaf = path_leaf
+        names = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        return ("decoder" in names) or ("latent_head" in names)
+
+    flat = jax.tree_util.tree_flatten_with_path(student_params)[0]
+    treedef = jax.tree_util.tree_structure(student_params)
+    return jax.tree_util.tree_unflatten(treedef, [mark(pl) for pl in flat])
+
+
 def build(
     cfg_task: TaskConfig,
     da_cfg: DAggerConfig,
@@ -108,6 +121,7 @@ def build(
     n_envs: int,
     teacher: TeacherBundle,
     rng: jax.Array,
+    phase3: bool = False,
 ):
     """Construct the student, initial DAggerState and the jitted train epoch."""
     obs_dim = cfg_task.env.num_obs_hist * cfg_task.env.num_observations
@@ -152,6 +166,15 @@ def build(
         optax.clip_by_global_norm(da_cfg.grad_norm),
         optax.adamw(da_cfg.learning_rate),
     )
+    if phase3:
+        # phase-3 partial training: only the decoder/latent-head update
+        # (optax.masked would pass frozen updates through — must zero them)
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", decoder_only_mask(student_params)
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
     state = dummy_state._replace(
         student_params=student_params,
         opt_state=tx.init(student_params),

@@ -153,7 +153,8 @@ class DAggerTrainer:
     """Stage-2 student trainer (ExtrinsicAdapt.train() parity)."""
 
     def __init__(self, cfg_task, da_cfg, model, subs, n_envs, out_dir,
-                 teacher_ckpt_path: str, seed: int = 0):
+                 teacher_ckpt_path: str, seed: int = 0, phase3: bool = False,
+                 student_ckpt_path: str = ""):
         from . import ext_adapt as ea
 
         tree = restore_path(teacher_ckpt_path)
@@ -162,9 +163,18 @@ class DAggerTrainer:
         )
         self.cfg_task, self.da_cfg, self.n_envs = cfg_task, da_cfg, n_envs
         self.student, self.tx, self.state, train_epoch = ea.build(
-            cfg_task, da_cfg, model, subs, n_envs, teacher, jax.random.PRNGKey(seed)
+            cfg_task, da_cfg, model, subs, n_envs, teacher, jax.random.PRNGKey(seed),
+            phase3=phase3,
         )
         self.train_epoch = jax.jit(train_epoch)
+        if student_ckpt_path:
+            # phase-2/3 restore: continue from a previous student
+            tree = restore_path(student_ckpt_path)
+            self.state = self.state._replace(
+                student_params=tree["student_params"],
+                stud_obs_rms=tree.get("stud_obs_rms", self.state.stud_obs_rms),
+                pcl_rms=tree.get("pcl_rms", self.state.pcl_rms),
+            )
         self.ckpt = Checkpointer(out_dir)
         self.writer = MetricsWriter(out_dir)
         self.success_meter = AverageScalarMeter()

@@ -85,6 +85,8 @@ def parse_args(argv: list[str] | None = None) -> dict:
         output="outputs/run",
         max_epochs=None,
         collect_rotate=False,
+        phase3=False,
+        student_checkpoint="",
     )
     for arg in argv:
         if "=" not in arg:
@@ -105,6 +107,10 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["max_epochs"] = int(val)
         elif k in ("task.collect_rotate", "collect_rotate"):
             out["collect_rotate"] = bool(val)
+        elif k in ("phase3", "train.phase3"):
+            out["phase3"] = bool(val)
+        elif k in ("student_checkpoint",):
+            out["student_checkpoint"] = str(val)
         elif k == "task":
             pass  # single task family; accepted for recipe compatibility
         elif k in _KEYMAP:
@@ -162,7 +168,9 @@ def main(argv: list[str] | None = None):
             raise SystemExit("ExtrinsicAdapt requires checkpoint=<teacher ckpt dir>")
         trainer = DAggerTrainer(args["task"], args["dagger"], model, subs,
                                 args["num_envs"], args["output"],
-                                teacher_ckpt_path=args["checkpoint"], seed=args["seed"])
+                                teacher_ckpt_path=args["checkpoint"], seed=args["seed"],
+                                phase3=args["phase3"],
+                                student_ckpt_path=args["student_checkpoint"])
         trainer.train(max_epochs=args["max_epochs"] or 1000)
     else:
         raise SystemExit(f"unknown algo {args['algo']}")
