@@ -63,6 +63,52 @@ class TactileCNN(nn.Module):
         return nn.Dense(self.out_dim)(kp)
 
 
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck block (EfficientNet-b0 building block with
+    the reference's GroupNorm swap — tact.py EfficientNet GroupNorm variant)."""
+
+    out_ch: int
+    stride: int = 1
+    expand: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = nn.Conv(in_ch * self.expand, (1, 1), use_bias=False)(x)
+        h = nn.silu(nn.GroupNorm(num_groups=min(8, in_ch * self.expand))(h))
+        h = nn.Conv(in_ch * self.expand, (3, 3), strides=(self.stride,) * 2,
+                    feature_group_count=in_ch * self.expand, use_bias=False)(h)
+        h = nn.silu(nn.GroupNorm(num_groups=min(8, in_ch * self.expand))(h))
+        # squeeze-excite
+        se = jnp.mean(h, axis=(1, 2), keepdims=True)
+        se = nn.silu(nn.Dense(max(in_ch // 4, 4))(se))
+        se = nn.sigmoid(nn.Dense(h.shape[-1])(se))
+        h = h * se
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
+        h = nn.GroupNorm(num_groups=min(8, self.out_ch))(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class EfficientTactileEncoder(nn.Module):
+    """EfficientNet-b0-style tactile encoder (reference alternative to the
+    spatial-softargmax CNN, tact.py encoder flag)."""
+
+    out_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x):  # [B, F, H, W, C]
+        b, f, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, f * c)
+        h_ = nn.silu(nn.GroupNorm(4)(nn.Conv(16, (3, 3), strides=(2, 2), use_bias=False)(x)))
+        for ch, st in ((24, 2), (40, 2), (80, 2)):
+            h_ = MBConv(ch, stride=st)(h_)
+            h_ = MBConv(ch, stride=1)(h_)
+        h_ = jnp.mean(h_, axis=(1, 2))
+        return nn.Dense(self.out_dim)(h_)
+
+
 class DepthCNN(nn.Module):
     """DepthOnlyFCBackbone54x96-style conv encoder for depth/seg images."""
 
@@ -124,6 +170,7 @@ class MultiModalModel(nn.Module):
     use_img: bool = False
     use_seg: bool = False
     use_pcl: bool = False
+    tactile_encoder: str = "cnn"   # "cnn" (spatial softargmax) | "efficientnet"
     embed_dim: int = 64
     latent_dim: int = 8        # 8 (RMA latent) | 6 (only-BC action head)
     bc_mode: bool = False      # tanh action output (only_bc, ext_adapt.py)
@@ -140,7 +187,9 @@ class MultiModalModel(nn.Module):
         if self.use_tactile and tactile is not None:
             # [B, T, F, H, W, C] → per-history-frame token
             b, t = tactile.shape[:2]
-            enc = TactileCNN(out_dim=E, name="tactile_enc")
+            enc_cls = (EfficientTactileEncoder if self.tactile_encoder == "efficientnet"
+                       else TactileCNN)
+            enc = enc_cls(out_dim=E, name="tactile_enc")
             for i in range(t):
                 tokens.append(enc(tactile[:, i]))
         if self.use_img and img is not None:
