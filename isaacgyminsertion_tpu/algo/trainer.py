@@ -135,6 +135,25 @@ class PPOTrainer:
         self.ckpt.save_last(self._ckpt_tree(), int(float(self.state.agent_steps)))
         return self.state
 
+    def record_video(self, n_steps: int = 150, seed: int = 0):
+        """Rollout video + action/force traces with the current policy
+        (frozen_ppo.py:791-851 mp4/plot logging parity)."""
+        import jax.numpy as jnp
+
+        from ..utils.video import record_eval_video
+
+        def act_fn(env_state):
+            obs = env_state.obs_queue
+            priv = insertion.priv_info_of(self.cfg_task, self.model, env_state)
+            o = rms_normalize(self.state.obs_rms, obs)
+            p = rms_normalize(self.state.priv_rms, priv)
+            mu, _, _, _, _ = self.net.apply(self.state.params, o, p)
+            return jnp.clip(mu, -1.0, 1.0)
+
+        return record_eval_video(self.cfg_task, self.model, self.subs, act_fn,
+                                 n_steps=n_steps, out_dir=f"{self.ckpt.out_dir}/videos",
+                                 seed=seed)
+
     def test(self, n_episodes: int = 1, seed: int = 1234) -> float:
         """Deterministic evaluation; prints and returns the success rate
         (train.py test=True path parity)."""
