@@ -73,23 +73,35 @@ def render_depth_seg(
     socket_height: jax.Array,
     table_height: jax.Array,
     noise_key: jax.Array | None = None,
+    cam_quat: jax.Array | None = None,   # [N, 4] per-env override (wrist cams)
+    cam_pos: jax.Array | None = None,    # [N, 3]
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (depth_normalized [N,H,W], seg [N,H,W] int32, depth_raw)."""
+    """Returns (depth_normalized [N,H,W], seg [N,H,W] int32, depth_raw).
+
+    With `cam_quat`/`cam_pos` the camera rides a per-env dynamic pose — the
+    robot-attached viz cameras of the reference (factory_env_insertion.py:
+    1005-1034); by default the static real-calibrated external pose is used.
+    """
     n = plug_pos.shape[0]
     rays_c = _pixel_rays(cfg)                                  # [H, W, 3]
-    cam_q = jnp.asarray(cfg.cam_quat, plug_pos.dtype)
-    cam_t = jnp.asarray(cfg.cam_pos, plug_pos.dtype)
-    rays_w = rot.quat_apply(cam_q, rays_c)                     # [H, W, 3]
-    rays_w = jnp.broadcast_to(rays_w, (n,) + rays_w.shape)
+    if cam_quat is None:
+        cam_q = jnp.asarray(cfg.cam_quat, plug_pos.dtype)
+        cam_t = jnp.asarray(cfg.cam_pos, plug_pos.dtype)
+        rays_w = rot.quat_apply(cam_q, rays_c)                 # [H, W, 3]
+        rays_w = jnp.broadcast_to(rays_w, (n,) + rays_w.shape)
+    else:
+        cam_q, cam_t = cam_quat, cam_pos
+        rays_w = rot.quat_apply(cam_q[:, None, None, :], rays_c[None])
 
     inv_pq, inv_pt = rot.tf_inverse(plug_q, plug_pos)
     inv_sq, inv_st = rot.tf_inverse(socket_q, socket_pos)
     o_plug = inv_pt + rot.quat_apply(inv_pq, cam_t)            # [N, 3]
     o_sock = inv_st + rot.quat_apply(inv_sq, cam_t)
+    cam_t_b = cam_t if cam_t.ndim == 1 else cam_t[:, None, None, :]
 
     def scene_sdf(t):
         """Component distances at ray parameter t: [3, N, H, W]."""
-        p_w = cam_t + rays_w * t[..., None]
+        p_w = cam_t_b + rays_w * t[..., None]
         p_p = o_plug[:, None, None, :] + rot.quat_apply(inv_pq[:, None, None, :], rays_w) * t[..., None]
         p_s = o_sock[:, None, None, :] + rot.quat_apply(inv_sq[:, None, None, :], rays_w) * t[..., None]
         d_plug = sdfm.plug_sdf(
