@@ -843,6 +843,16 @@ def step(
                 merge_goal=cfg.env.merge_goal_pcl,
                 include_all=cfg.env.include_all_pcl,
             )
+            if cfg.env.merge_socket_pcl and cfg.env.include_plug_pcl:
+                # the socket slice is captured once per episode (progress < 10,
+                # before the descending plug occludes it) and then frozen —
+                # factory_task_insertion.py socket-pcl capture semantics
+                s0 = cfg.env.num_points
+                s1 = s0 + cfg.env.num_points_socket
+                prev_sock = state.pcl_queue[:, 0, s0:s1]
+                merged = merged.at[:, s0:s1].set(
+                    _where(initial, merged[:, s0:s1], prev_sock)
+                )
             p_noise_on = ~initial & (jax.random.uniform(kp2, (n,)) > 1 - cfg.env.pcl_prob_noise)
             merged = pcl_mod.augment_pcl(merged, kp2, pcl_mod.PclAugmentConfig(), p_noise_on)
             latest_pcl = _where(i_upd, merged, state.pcl_queue[:, 0])
