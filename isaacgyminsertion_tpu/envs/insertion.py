@@ -337,6 +337,13 @@ def _sample_episode(
     gripper_target = hand_at(jnp.minimum(f_touch + 0.04, 1.0))[:, 7:]
 
     # ---- DR over physics params (setup randomizations, SURVEY.md §2.1)
+    # socket scale DR (FactoryEnvInsertionTactile.yaml actor_params.socket.
+    # scale 1.0-1.1, setup_only): enlarges the hole cross-section — this is
+    # what makes the tightest fits (0.1-0.6 mm clearance) insertable and is
+    # part of the reference's own randomization
+    sock_scale = _uniform(keys[12], (n,), float(rz.socket_scale[0]), float(rz.socket_scale[1])) \
+        if grasp_data is None else _uniform(jax.random.fold_in(keys[11], 7), (n,),
+                                            float(rz.socket_scale[0]), float(rz.socket_scale[1]))
     mass_scale = _uniform(keys[7], (n,), float(rz.plug_mass_scale[0]), float(rz.plug_mass_scale[1]))
     plug_fric_scale = _uniform(keys[8], (n,), float(rz.plug_friction_scale[0]), float(rz.plug_friction_scale[1]))
     sock_fric = _uniform(keys[9], (n,), float(rz.socket_friction_scale[0]), float(rz.socket_friction_scale[1]))
@@ -357,8 +364,8 @@ def _sample_episode(
         plug_hx=rows["plug_hx"],
         plug_hy=rows["plug_hy"],
         plug_length=rows["plug_length"],
-        hole_hx=rows["hole_hx"],
-        hole_hy=rows["hole_hy"],
+        hole_hx=rows["hole_hx"] * sock_scale,
+        hole_hy=rows["hole_hy"] * sock_scale,
         socket_height=rows["socket_height"],
         surface_points=rows["surface_points"],
         surface_weights=rows["surface_weights"],
