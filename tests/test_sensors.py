@@ -141,3 +141,22 @@ def test_env_step_with_all_sensors():
     assert out.contacts.size > 0
     for leaf in [out.tactile, out.img, out.pcl, out.contacts]:
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_wrist_camera_dynamic_pose():
+    """Per-env dynamic camera poses (robot-attached viz cams)."""
+    sub_idx = jnp.arange(N) % len(SUBS.names)
+    sh = _shape_args(sub_idx)
+    ccfg = cam_mod.CameraConfig()
+    plug_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.05]), (N, 1))
+    q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (N, 1))
+    sock_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.001]), (N, 1))
+    cam_q = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (N, 1))  # looking down
+    cam_t = jnp.tile(jnp.asarray([0.5, 0.0, 0.45]), (N, 1))
+    _, seg, _ = cam_mod.render_depth_seg(
+        ccfg, q, plug_pos, q, sock_pos, sh["kind_onehot"], sh["plug_hx"],
+        sh["plug_hy"], sh["plug_length"], sh["hole_hx"], sh["hole_hy"],
+        sh["socket_height"], jnp.full((N,), 0.001), cam_quat=cam_q, cam_pos=cam_t,
+    )
+    seg_np = np.asarray(seg)
+    assert (seg_np == cam_mod.SEG_PLUG).sum() > 10
