@@ -4,7 +4,10 @@ plug-to-socket distance statistics + success over an episode.
 
 Usage: python tools/eval_behavior.py <ckpt_path> [n_envs] [seed]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
