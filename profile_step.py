@@ -4,8 +4,6 @@ Usage: python profile_step.py [n_envs] [reps]
 Variants:
   full          complete insertion.step
   physics_only  engine.step alone (no obs/reward/reset pipelines)
-  no_contact    physics with the contact solve ablated
-  no_dynamics   physics with M/C/implicit-PD ablated (contacts only)
   sensors_on    insertion.step with tactile+depth+seg+pcl+contact GT
 """
 
