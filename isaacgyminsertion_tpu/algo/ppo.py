@@ -86,8 +86,13 @@ class Transition(NamedTuple):
     sigma: jax.Array
 
 
-def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rng):
-    """Construct network, initial PPOState and the jitted train_epoch fn."""
+def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rng,
+          grasp_data=None):
+    """Construct network, initial PPOState and the jitted train_epoch fn.
+
+    `grasp_data` (envs/grasp_gen.GraspData) selects dataset-driven resets —
+    the reference's default `_reset_predefined_environment` path replaying
+    initial_grasp_data rows (factory_task_insertion.py:1223-1241)."""
     obs_dim = cfg_task.env.num_obs_hist * cfg_task.env.num_observations
     net = ActorCriticSplit(
         num_actions=cfg_task.env.num_actions,
@@ -95,7 +100,8 @@ def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rn
         priv_dim=cfg_task.env.num_states,
     )
     k_env, k_net, k_train = jax.random.split(rng, 3)
-    env_state = insertion.reset_all(cfg_task, model, subs, k_env, n_envs)
+    env_state = insertion.reset_all(cfg_task, model, subs, k_env, n_envs,
+                                    grasp_data=grasp_data)
     dummy_obs = jnp.zeros((1, obs_dim))
     dummy_priv = jnp.zeros((1, cfg_task.env.num_states))
     params = net.init(k_net, dummy_obs, dummy_priv)
@@ -115,7 +121,8 @@ def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rn
         epoch=jnp.zeros((), jnp.int32),
         agent_steps=jnp.zeros((), jnp.float32),
     )
-    train_epoch = make_train_epoch(cfg_task, ppo_cfg, model, subs, net, tx)
+    train_epoch = make_train_epoch(cfg_task, ppo_cfg, model, subs, net, tx,
+                                   grasp_data=grasp_data)
     return net, tx, state, train_epoch
 
 
@@ -131,8 +138,9 @@ def make_act_fn(cfg_task: TaskConfig, net):
     return act
 
 
-def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx):
-    env_step = partial(insertion.step, cfg_task, model, subs)
+def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
+                     grasp_data=None):
+    env_step = partial(insertion.step, cfg_task, model, subs, grasp_data=grasp_data)
 
     def rollout_step(carry, _):
         env_state, params, obs_rms, priv_rms, value_rms, rng = carry

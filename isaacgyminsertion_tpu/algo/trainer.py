@@ -63,14 +63,14 @@ class PPOTrainer:
 
     def __init__(self, cfg_task, ppo_cfg, model, subs, n_envs, out_dir,
                  seed: int = 0, eval_envs: int | None = None,
-                 eval_freq_steps: float = 10.0e6):
+                 eval_freq_steps: float = 10.0e6, grasp_data=None):
         from . import ppo as ppo_mod
 
         self.cfg_task, self.ppo_cfg = cfg_task, ppo_cfg
         self.model, self.subs, self.n_envs = model, subs, n_envs
         rng = jax.random.PRNGKey(seed)
         self.net, self.tx, self.state, train_epoch = ppo_mod.build(
-            cfg_task, ppo_cfg, model, subs, n_envs, rng
+            cfg_task, ppo_cfg, model, subs, n_envs, rng, grasp_data=grasp_data
         )
         self.train_epoch = jax.jit(train_epoch)
         self.ckpt = Checkpointer(out_dir)

@@ -87,6 +87,7 @@ def parse_args(argv: list[str] | None = None) -> dict:
         collect_rotate=False,
         phase3=False,
         student_checkpoint="",
+        grasp_dataset="",
     )
     for arg in argv:
         if "=" not in arg:
@@ -111,6 +112,8 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["phase3"] = bool(val)
         elif k in ("student_checkpoint",):
             out["student_checkpoint"] = str(val)
+        elif k in ("grasp_dataset", "task.grasp_dataset"):
+            out["grasp_dataset"] = str(val)
         elif k == "task":
             pass  # single task family; accepted for recipe compatibility
         elif k in _KEYMAP:
@@ -154,9 +157,18 @@ def main(argv: list[str] | None = None):
         print(f"collected {n} rotating-plug tactile frames")
         return
 
+    grasp_data = None
+    if args["grasp_dataset"]:
+        # dataset-driven resets (reference _reset_predefined_environment path)
+        from .envs.grasp_gen import load_grasp_data
+
+        grasp_data = load_grasp_data(args["grasp_dataset"], n_sub=len(subs.names),
+                                     model=model)
+
     if args["algo"] == "PPO":
         trainer = PPOTrainer(args["task"], args["ppo"], model, subs,
-                             args["num_envs"], args["output"], seed=args["seed"])
+                             args["num_envs"], args["output"], seed=args["seed"],
+                             grasp_data=grasp_data)
         if args["checkpoint"]:
             trainer.restore(args["checkpoint"])
         if args["test"]:

@@ -100,22 +100,36 @@ def generate_grasp_dataset(
     return len(rows["sub_idx"])
 
 
-def load_grasp_data(path: str, n_sub: int, max_rows: int = 512) -> GraspData:
+def load_grasp_data(path: str, n_sub: int, max_rows: int = 512,
+                    model=None, max_ang: float = 0.4) -> GraspData:
     """Pack the npz rows into the padded per-subassembly table.
 
     Mirrors _initialize_grasp_poses + Euler-outlier filtering
-    (factory_env_insertion.py:541-607): rows whose relative plug tilt exceeds
-    0.4 rad are dropped (they would trigger an immediate degrasp reset).
+    (factory_env_insertion.py:541-607): rows whose WORLD-frame plug Euler
+    angles exceed 0.4 rad are dropped — they would trigger an immediate
+    degrasp reset (|rpy| > 0.4). Our rows store the hand-relative plug pose,
+    so the world pose is reconstructed from the stored dof_pos via FK when a
+    robot `model` is supplied (pass `build_kuka_openhand()`).
     """
     with np.load(path) as d:
         sub_idx = d["sub_idx"]
         dof = d["dof_pos"]
         spos, squat = d["socket_pos"], d["socket_quat"]
         pos, quat = d["plug_pos_hand"], d["plug_quat_hand"]
-    # The reference Euler-outlier filter (factory_env_insertion.py:541-607)
-    # prunes tilted world-frame plug poses; generation already enforces that
-    # via the held-after-settling check, so no additional pruning here (the
-    # stored quat is hand-relative, where tilt is not directly meaningful).
+    if model is not None and len(sub_idx):
+        from ..physics.kinematics import forward_kinematics, site_pose
+        from ..physics.robot import SITE_FINGERTIP_CENTERED
+
+        fk = forward_kinematics(model, jnp.asarray(dof))
+        hand_q, _ = site_pose(model, fk, SITE_FINGERTIP_CENTERED)
+        world_q = rot.quat_mul(hand_q, jnp.asarray(quat))
+        eul = np.asarray(rot.euler_xyz_signed(world_q))
+        keep = ~np.any(np.abs(eul) > max_ang, axis=-1)
+        n_removed = int((~keep).sum())
+        if n_removed:
+            print(f"removed: {n_removed} grasp rows (Euler outliers > {max_ang} rad)")
+        sub_idx, dof = sub_idx[keep], dof[keep]
+        spos, squat, pos, quat = spos[keep], squat[keep], pos[keep], quat[keep]
 
     out_dof = np.zeros((n_sub, max_rows, 15), np.float32)
     out_spos = np.tile(np.asarray([0.5, 0.0, 0.001], np.float32), (n_sub, max_rows, 1))
