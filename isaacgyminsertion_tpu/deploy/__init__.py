@@ -1,1 +1,7 @@
-from .hardware_player import HardwareInterface, HardwarePlayer, SimInterface  # noqa: F401
+from .hardware_player import (  # noqa: F401
+    DiffusionHardwarePlayer,
+    HardwareInterface,
+    HardwarePlayer,
+    SimInterface,
+    StudentHardwarePlayer,
+)

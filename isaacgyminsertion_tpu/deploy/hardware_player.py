@@ -64,10 +64,26 @@ class SimInterface:
 
     def get_observation(self) -> dict:
         obs = self.state.obs_queue
-        return {"obs": np.asarray(obs)[0]}
+        d = {"obs": np.asarray(obs)[0],
+             "student_obs": np.asarray(self.state.obs_stud_queue)[0]}
+        # sensor modalities (populated after the first step; zero-sized when
+        # the modality is off — same contract as StepOutput)
+        for k, q in (("tactile", self.state.tactile_queue),
+                     ("img", self.state.img_queue),
+                     ("seg", self.state.seg_queue),
+                     ("pcl", self.state.pcl_queue)):
+            d[k] = np.asarray(q)[0]
+        return d
 
     def apply_action(self, delta_pos, delta_rot):
-        act = jnp.asarray(np.concatenate([delta_pos, delta_rot])[None], jnp.float32)
+        # deploy commands are metric deltas (deploy_s2.py pos/rot_action_scale
+        # applied by the player); the sim env consumes normalized [-1, 1]
+        # actions and applies its own rl.*_action_scale — invert it here
+        act = np.concatenate([
+            np.asarray(delta_pos) / np.asarray(self.cfg.rl.pos_action_scale),
+            np.asarray(delta_rot) / np.asarray(self.cfg.rl.rot_action_scale),
+        ])
+        act = jnp.asarray(np.clip(act, -1.0, 1.0)[None], jnp.float32)
         self.state, self._out = self._step(self.state, act)
 
     @property
@@ -113,4 +129,127 @@ class HardwarePlayer:
             hw.apply_action(act[:3] * self.pos_action_scale, act[3:] * self.rot_action_scale)
             if getattr(hw, "success", False):
                 return t + 1
+        return num_steps
+
+
+class StudentHardwarePlayer(HardwarePlayer):
+    """Student deploy (deploy_s2.py:54-167 mirror): the student predicts the
+    extrinsics latent (or, in only-BC mode, the action directly) from onboard
+    modalities; the latent is injected into the frozen teacher actor
+    (act_inference with student latent, models_split.py:154-199)."""
+
+    def __init__(self, teacher_ckpt: str, student_ckpt: str, da_cfg,
+                 cfg: TaskConfig | None = None,
+                 pos_action_scale=(0.002, 0.002, 0.002),
+                 rot_action_scale=(0.01, 0.01, 0.01)):
+        super().__init__(teacher_ckpt, cfg, pos_action_scale, rot_action_scale)
+        from ..algo.ext_adapt import DAggerConfig, _student_inputs  # noqa: F401
+        from ..models.student import MultiModalModel
+
+        self.da_cfg = da_cfg
+        tree = restore_path(student_ckpt)
+        self.student_params = tree["student_params"]
+        self.stud_obs_rms = tree["stud_obs_rms"]
+        self.pcl_rms = tree["pcl_rms"]
+        e = self.cfg.env
+        self.student = MultiModalModel(
+            use_obs=da_cfg.use_obs, use_tactile=da_cfg.use_tactile,
+            use_img=da_cfg.use_img, use_seg=da_cfg.use_seg, use_pcl=da_cfg.use_pcl,
+            latent_dim=6 if da_cfg.only_bc else 8, bc_mode=da_cfg.only_bc,
+            num_points=e.num_points if e.include_plug_pcl else 0,
+            num_points_socket=e.num_points_socket if e.merge_socket_pcl else 0,
+            num_points_goal=e.num_points_goal if e.merge_goal_pcl else 0,
+        )
+
+        def act(obs, inp):
+            lat = self.student.apply(self.student_params, **inp)
+            if da_cfg.only_bc:
+                return lat  # 6-dim tanh action directly (only-BC mode)
+            o = rms_normalize(self.obs_rms, obs)
+            zeros_priv = jnp.zeros(obs.shape[:-1] + (self.cfg.env.num_states,), obs.dtype)
+            mu, _, _, _, _ = self.net.apply(
+                self.params, o, rms_normalize(self.priv_rms, zeros_priv), latent=lat
+            )
+            return jnp.clip(mu, -1.0, 1.0)
+
+        self._act_student = jax.jit(act)
+
+    def _inputs_of(self, ob: dict):
+        from ..algo.ext_adapt import _seg_masks
+
+        inp = {}
+        if self.da_cfg.use_obs:
+            inp["obs"] = rms_normalize(
+                self.stud_obs_rms, jnp.asarray(ob["student_obs"][None], jnp.float32)
+            )
+        if self.da_cfg.use_tactile:
+            inp["tactile"] = jnp.asarray(ob["tactile"][None], jnp.float32)
+        if self.da_cfg.use_img:
+            inp["img"] = jnp.asarray(ob["img"][None], jnp.float32)
+        if self.da_cfg.use_seg:
+            seg = jnp.asarray(ob["seg"][None], jnp.float32)
+            inp["seg"] = _seg_masks(seg[:, -1])[:, None]
+        if self.da_cfg.use_pcl:
+            p = jnp.asarray(ob["pcl"][None], jnp.float32)
+            inp["pcl"] = rms_normalize(self.pcl_rms, p[:, -1] if p.ndim == 4 else p)
+        return inp
+
+    def deploy(self, hw: HardwareInterface, num_steps: int = 500) -> int:
+        hw.reset()
+        for t in range(num_steps):
+            ob = hw.get_observation()
+            act = np.asarray(
+                self._act_student(jnp.asarray(ob["obs"][None], jnp.float32),
+                                  self._inputs_of(ob))
+            )[0]
+            hw.apply_action(act[:3] * self.pos_action_scale, act[3:] * self.rot_action_scale)
+            if getattr(hw, "success", False):
+                return t + 1
+        return num_steps
+
+
+class DiffusionHardwarePlayer:
+    """Diffusion-policy deploy (deploy_diffusion.py mirror): DDIM-samples an
+    action chunk conditioned on the current student obs and executes it
+    open-loop before re-planning."""
+
+    def __init__(self, ckpt: str, cfg: TaskConfig | None = None,
+                 pos_action_scale=(0.002, 0.002, 0.002),
+                 rot_action_scale=(0.01, 0.01, 0.01),
+                 execute_horizon: int = 4, seed: int = 0):
+        from ..models.diffusion import DiffusionPolicy
+
+        self.cfg = cfg or default_task_config()
+        tree = restore_path(ckpt)
+        self.params = tree.get("ema_params", tree.get("params"))
+        self.policy = DiffusionPolicy(
+            act_dim=self.cfg.env.num_actions,
+            obs_dim=self.cfg.env.num_obs_stud_hist * self.cfg.env.num_obs_student,
+        )
+        self.execute_horizon = execute_horizon
+        self.pos_action_scale = np.asarray(pos_action_scale)
+        self.rot_action_scale = np.asarray(rot_action_scale)
+        self._rng = jax.random.PRNGKey(seed)
+        self._sample = jax.jit(
+            lambda p, r, o: self.policy.sample_ddim(p, r, o)
+        )
+
+    def deploy(self, hw: HardwareInterface, num_steps: int = 500) -> int:
+        hw.reset()
+        t = 0
+        while t < num_steps:
+            ob = hw.get_observation()
+            self._rng, k = jax.random.split(self._rng)
+            chunk = np.asarray(
+                self._sample(self.params, k,
+                             jnp.asarray(ob["student_obs"][None], jnp.float32))
+            )[0]
+            for act in np.clip(chunk[: self.execute_horizon], -1.0, 1.0):
+                hw.apply_action(act[:3] * self.pos_action_scale,
+                                act[3:] * self.rot_action_scale)
+                t += 1
+                if getattr(hw, "success", False):
+                    return t
+                if t >= num_steps:
+                    break
         return num_steps

@@ -95,3 +95,58 @@ def test_deploy_loop_runs_in_sim(tmp_path):
     hw = SimInterface(cfg)
     steps = player.deploy(hw, num_steps=5)
     assert steps == 5 or hw.success
+
+
+def test_student_deploy_loop_runs_in_sim(tmp_path):
+    import isaacgyminsertion_tpu.algo.ext_adapt as ea
+    import isaacgyminsertion_tpu.algo.ppo as ppo_mod
+    from isaacgyminsertion_tpu.assets import build_subassembly_set
+    from isaacgyminsertion_tpu.deploy import SimInterface, StudentHardwarePlayer
+    from isaacgyminsertion_tpu.envs.config import default_task_config
+    from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
+    from isaacgyminsertion_tpu.utils.checkpoint import Checkpointer
+
+    cfg = default_task_config()
+    model = build_kuka_openhand()
+    subs = build_subassembly_set()
+    _, _, st, _ = ppo_mod.build(cfg, ppo_mod.PPOConfig(horizon=2, mini_epochs=2),
+                                model, subs, 2, jax.random.PRNGKey(0))
+    tck = Checkpointer(str(tmp_path / "teacher"))
+    tck.save_last({"params": st.params, "obs_rms": st.obs_rms,
+                   "priv_rms": st.priv_rms, "value_rms": st.value_rms}, 0)
+
+    da_cfg = ea.DAggerConfig(horizon=2, mini_epochs=1, use_obs=True)
+    teacher = ea.TeacherBundle(params=st.params, obs_rms=st.obs_rms,
+                               priv_rms=st.priv_rms)
+    _, _, da_st, _ = ea.build(cfg, da_cfg, model, subs, 2, teacher,
+                              jax.random.PRNGKey(1))
+    sck = Checkpointer(str(tmp_path / "student"))
+    sck.save_last({"student_params": da_st.student_params,
+                   "stud_obs_rms": da_st.stud_obs_rms,
+                   "pcl_rms": da_st.pcl_rms}, 0)
+
+    player = StudentHardwarePlayer(str(tmp_path / "teacher" / "last"),
+                                   str(tmp_path / "student" / "last"),
+                                   da_cfg, cfg)
+    hw = SimInterface(cfg)
+    steps = player.deploy(hw, num_steps=3)
+    assert steps == 3 or hw.success
+
+
+def test_diffusion_deploy_loop_runs_in_sim(tmp_path):
+    from isaacgyminsertion_tpu.deploy import DiffusionHardwarePlayer, SimInterface
+    from isaacgyminsertion_tpu.envs.config import default_task_config
+    from isaacgyminsertion_tpu.models.diffusion import DiffusionPolicy
+    from isaacgyminsertion_tpu.utils.checkpoint import Checkpointer
+
+    cfg = default_task_config()
+    pol = DiffusionPolicy(act_dim=cfg.env.num_actions,
+                          obs_dim=cfg.env.num_obs_stud_hist * cfg.env.num_obs_student)
+    params = pol.init(jax.random.PRNGKey(0))
+    ck = Checkpointer(str(tmp_path))
+    ck.save_last({"ema_params": params}, 0)
+    player = DiffusionHardwarePlayer(str(tmp_path / "last"), cfg,
+                                     execute_horizon=2)
+    hw = SimInterface(cfg)
+    steps = player.deploy(hw, num_steps=4)
+    assert steps == 4 or hw.success
