@@ -2,6 +2,7 @@ from .hardware_player import (  # noqa: F401
     DiffusionHardwarePlayer,
     HardwareInterface,
     HardwarePlayer,
+    PosPredHardwarePlayer,
     SimInterface,
     StudentHardwarePlayer,
 )

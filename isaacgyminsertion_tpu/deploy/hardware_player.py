@@ -208,6 +208,43 @@ class StudentHardwarePlayer(HardwarePlayer):
         return num_steps
 
 
+class PosPredHardwarePlayer:
+    """Position-prediction deploy (deploy_pos_pred.py mirror): a trained
+    tactile→pose regressor (algo/tactile_runner.py) estimates the plug-in-hand
+    pose from the fingertip tactile frames; the loop servos the predicted plug
+    toward a target pose with a P-controller in action space."""
+
+    def __init__(self, tactile_ckpt: str, cfg: TaskConfig | None = None,
+                 pos_action_scale=(0.002, 0.002, 0.002),
+                 rot_action_scale=(0.01, 0.01, 0.01),
+                 target_pos=(0.5, 0.0, 0.0), gain: float = 1.0):
+        from ..algo.tactile_runner import TactileRegressionRunner, TactileRunnerConfig
+
+        self.cfg = cfg or default_task_config()
+        self.runner = TactileRegressionRunner(TactileRunnerConfig(), out_dir="/tmp/pos_pred")
+        tree = restore_path(tactile_ckpt)
+        self.runner.params = tree["params"]
+        self.pos_action_scale = np.asarray(pos_action_scale)
+        self.rot_action_scale = np.asarray(rot_action_scale)
+        self.target_pos = np.asarray(target_pos)
+        self.gain = gain
+
+    def deploy(self, hw: HardwareInterface, num_steps: int = 100) -> int:
+        hw.reset()
+        for t in range(num_steps):
+            ob = hw.get_observation()
+            tact = ob.get("tactile")
+            if tact is None or tact.size == 0:
+                break  # tactile modality off — nothing to predict from
+            pred = self.runner.predict(tact[None, -1])[0]  # [pos 3, quat 4]
+            err = self.target_pos - pred[:3]
+            act = np.clip(self.gain * err / self.pos_action_scale, -1.0, 1.0)
+            hw.apply_action(act * self.pos_action_scale, np.zeros(3))
+            if getattr(hw, "success", False):
+                return t + 1
+        return num_steps
+
+
 class DiffusionHardwarePlayer:
     """Diffusion-policy deploy (deploy_diffusion.py mirror): DDIM-samples an
     action chunk conditioned on the current student obs and executes it

@@ -150,3 +150,28 @@ def test_diffusion_deploy_loop_runs_in_sim(tmp_path):
     hw = SimInterface(cfg)
     steps = player.deploy(hw, num_steps=4)
     assert steps == 4 or hw.success
+
+
+def test_pos_pred_deploy_loop_runs_in_sim(tmp_path):
+    import dataclasses as dc
+
+    from isaacgyminsertion_tpu.algo.tactile_runner import (
+        TactileRegressionRunner,
+        TactileRunnerConfig,
+    )
+    from isaacgyminsertion_tpu.deploy import PosPredHardwarePlayer, SimInterface
+    from isaacgyminsertion_tpu.envs.config import default_task_config
+
+    cfg = default_task_config()
+    cfg = cfg.replace(env=dc.replace(cfg.env, tactile=True))
+    # fit a tiny regressor on random frames just to have a checkpoint
+    runner = TactileRegressionRunner(
+        TactileRunnerConfig(epochs=1, batch_size=2), out_dir=str(tmp_path)
+    )
+    tact = np.random.rand(4, 3, 64, 64, 3).astype(np.float32)  # env tactile shape
+    targets = np.random.rand(4, 7).astype(np.float32)
+    runner.fit(tact, targets)
+    player = PosPredHardwarePlayer(str(tmp_path / "last"), cfg)
+    hw = SimInterface(cfg)
+    steps = player.deploy(hw, num_steps=2)
+    assert steps == 2 or hw.success
