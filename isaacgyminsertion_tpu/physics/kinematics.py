@@ -27,7 +27,42 @@ class FK(NamedTuple):
 
 
 def forward_kinematics(model: RobotModel, q: jax.Array) -> FK:
-    """FK over the static tree. q: [..., nd]."""
+    """FK over the static tree by pointer-jumping (parallel prefix). q: [..., nd].
+
+    The serial chain walk (`_forward_kinematics_serial`) unrolls to ~5 tiny
+    ops per joint with sequential depth = tree depth (10 for KUKA+OpenHand) —
+    latency-bound on TPU. Pointer jumping composes transforms along ancestor
+    paths in ceil(log2(depth)) = 4 batched [..., nd, .] rounds with a static
+    (trace-time) jump schedule, cutting both op count and sequential depth.
+    """
+    import numpy as np
+
+    nd = model.parent.shape[0]
+    batch = q.shape[:-1]
+    axis = jnp.asarray(model.axis, q.dtype)  # [nd, 3]
+    # local transform of body i in its parent frame:
+    # (joint_q_i, joint_t_i) ∘ (rot(axis_i, q_i), 0)
+    qj = rot.quat_from_angle_axis(q, jnp.broadcast_to(axis, batch + (nd, 3)))
+    lq = rot.quat_mul(jnp.broadcast_to(jnp.asarray(model.joint_q, q.dtype), batch + (nd, 4)), qj)
+    lt = jnp.broadcast_to(jnp.asarray(model.joint_t, q.dtype), batch + (nd, 3))
+
+    P = np.asarray(model.parent).copy()  # static jump pointers
+    Q, T = lq, lt
+    while (P >= 0).any():
+        idx = np.where(P >= 0, P, 0)  # static gather indices
+        has_parent = jnp.asarray((P >= 0)[:, None])
+        cq, ct = rot.tf_combine(Q[..., idx, :], T[..., idx, :], Q, T)
+        Q = jnp.where(has_parent, cq, Q)
+        T = jnp.where(has_parent, ct, T)
+        P = np.where(P >= 0, P[idx], -1)  # jump: P_i ← P_{P_i}
+
+    axis_w = rot.quat_apply(Q, axis)
+    com_w = T + rot.quat_apply(Q, jnp.asarray(model.com, q.dtype))
+    return FK(body_q=Q, body_t=T, joint_axis_w=axis_w, com_w=com_w)
+
+
+def _forward_kinematics_serial(model: RobotModel, q: jax.Array) -> FK:
+    """Reference serial chain walk (kept as the parity oracle for tests)."""
     nd = model.parent.shape[0]
     batch = q.shape[:-1]
     ident_q = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0], q.dtype), batch + (4,))

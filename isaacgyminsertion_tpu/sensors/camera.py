@@ -75,35 +75,81 @@ def render_depth_seg(
     noise_key: jax.Array | None = None,
     cam_quat: jax.Array | None = None,   # [N, 4] per-env override (wrist cams)
     cam_pos: jax.Array | None = None,    # [N, 3]
+    fused: bool | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (depth_normalized [N,H,W], seg [N,H,W] int32, depth_raw).
 
     With `cam_quat`/`cam_pos` the camera rides a per-env dynamic pose — the
     robot-attached viz cameras of the reference (factory_env_insertion.py:
     1005-1034); by default the static real-calibrated external pose is used.
+    `fused` selects the Pallas VMEM-resident marcher (render_pallas.py);
+    default: on for TPU.
     """
     n = plug_pos.shape[0]
     rays_c = _pixel_rays(cfg)                                  # [H, W, 3]
     if cam_quat is None:
         cam_q = jnp.asarray(cfg.cam_quat, plug_pos.dtype)
         cam_t = jnp.asarray(cfg.cam_pos, plug_pos.dtype)
-        rays_w = rot.quat_apply(cam_q, rays_c)                 # [H, W, 3]
-        rays_w = jnp.broadcast_to(rays_w, (n,) + rays_w.shape)
     else:
         cam_q, cam_t = cam_quat, cam_pos
-        rays_w = rot.quat_apply(cam_q[:, None, None, :], rays_c[None])
 
     inv_pq, inv_pt = rot.tf_inverse(plug_q, plug_pos)
     inv_sq, inv_st = rot.tf_inverse(socket_q, socket_pos)
     o_plug = inv_pt + rot.quat_apply(inv_pq, cam_t)            # [N, 3]
     o_sock = inv_st + rot.quat_apply(inv_sq, cam_t)
+
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    if fused:
+        from . import render_pallas as rp
+
+        hw = cfg.height * cfg.width
+        hw_pad = ((hw + rp.LANE - 1) // rp.LANE) * rp.LANE
+        rays_flat = rays_c.reshape(hw, 3)
+        if hw_pad > hw:
+            pad = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (hw_pad - hw, 1))
+            rays_flat = jnp.concatenate([rays_flat, pad], axis=0)
+        cam_R = rot.quat_to_matrix(cam_q)                      # [3,3] or [N,3,3]
+        if cam_R.ndim == 2:
+            cam_R = jnp.broadcast_to(cam_R, (n, 3, 3))
+        cam_tv = jnp.broadcast_to(cam_t, (n, 3)) if cam_t.ndim == 1 else cam_t
+        M_plug = jnp.einsum("nij,njk->nik", rot.quat_to_matrix(inv_pq), cam_R)
+        M_sock = jnp.einsum("nij,njk->nik", rot.quat_to_matrix(inv_sq), cam_R)
+        t_hit, dmin, comp = rp.camera_march_fused(
+            M_plug, o_plug, M_sock, o_sock, cam_R[:, 2, :], cam_tv[:, 2],
+            kind_onehot, plug_hx, plug_hy, plug_length, hole_hx, hole_hy,
+            socket_height, table_height, rays_flat,
+            iters=cfg.march_iters, near=cfg.near, far=cfg.far,
+            plate_hx=float(SOCKET_PLATE_HX), plate_hy=float(SOCKET_PLATE_HY),
+        )
+        t_hit = t_hit[:, :hw].reshape(n, cfg.height, cfg.width)
+        dmin = dmin[:, :hw].reshape(n, cfg.height, cfg.width)
+        comp = comp[:, :hw].reshape(n, cfg.height, cfg.width)
+        hit = (dmin < 2e-3) & (t_hit < cfg.far - 1e-4)
+        seg = jnp.where(
+            hit & (comp == 1.0), SEG_PLUG,
+            jnp.where(hit & (comp == 2.0), SEG_SOCKET, SEG_TABLE),
+        ).astype(jnp.int32)
+        depth_norm, depth_raw = _depth_epilogue(cfg, t_hit, hit, noise_key)
+        return depth_norm, seg, depth_raw
+
+    rays_w = (
+        jnp.broadcast_to(rot.quat_apply(cam_q, rays_c), (n,) + rays_c.shape)
+        if cam_q.ndim == 1
+        else rot.quat_apply(cam_q[:, None, None, :], rays_c[None])
+    )
     cam_t_b = cam_t if cam_t.ndim == 1 else cam_t[:, None, None, :]
+    # hoist the per-frame ray directions out of the march loop (they are
+    # t-independent; recomputing the quaternion applies every iteration
+    # tripled the marcher's per-pixel math)
+    rays_p = rot.quat_apply(inv_pq[:, None, None, :], rays_w)  # [N, H, W, 3]
+    rays_s = rot.quat_apply(inv_sq[:, None, None, :], rays_w)
 
     def scene_sdf(t):
         """Component distances at ray parameter t: [3, N, H, W]."""
         p_w = cam_t_b + rays_w * t[..., None]
-        p_p = o_plug[:, None, None, :] + rot.quat_apply(inv_pq[:, None, None, :], rays_w) * t[..., None]
-        p_s = o_sock[:, None, None, :] + rot.quat_apply(inv_sq[:, None, None, :], rays_w) * t[..., None]
+        p_p = o_plug[:, None, None, :] + rays_p * t[..., None]
+        p_s = o_sock[:, None, None, :] + rays_s * t[..., None]
         d_plug = sdfm.plug_sdf(
             p_p, kind_onehot[:, None, None, :], plug_hx[:, None, None],
             plug_hy[:, None, None], plug_length[:, None, None],
@@ -130,15 +176,21 @@ def render_depth_seg(
         hit, jnp.asarray([SEG_TABLE, SEG_PLUG, SEG_SOCKET])[comp], SEG_TABLE
     ).astype(jnp.int32)
 
+    depth_norm, depth_raw = _depth_epilogue(cfg, t_hit, hit, noise_key)
+    return depth_norm, seg, depth_raw
+
+
+def _depth_epilogue(cfg: CameraConfig, t_hit, hit, noise_key):
+    """Depth noise/clip/normalize (DepthImageProcessor.process_depth_image
+    parity, factory_utils.py:55-72); shared by the XLA and Pallas paths."""
     depth_raw = jnp.where(hit, t_hit, cfg.far)
     if noise_key is not None and cfg.dis_noise > 0.0:
         depth_raw = depth_raw + cfg.dis_noise * 2.0 * (
             jax.random.uniform(noise_key, depth_raw.shape) - 0.5
         )
-    # DepthImageProcessor.process_depth_image parity: clip + normalize by -far
     depth_clipped = jnp.clip(depth_raw, cfg.near, cfg.far)
     depth_norm = depth_clipped / -cfg.far
-    return depth_norm, seg, depth_raw
+    return depth_norm, depth_raw
 
 
 def seg_noise(seg: jax.Array, key: jax.Array, flip_prob: float = 0.1) -> jax.Array:

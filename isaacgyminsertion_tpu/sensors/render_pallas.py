@@ -1,0 +1,400 @@
+"""Fused Pallas ray-march renderers — the hot kernels of the sensor stack.
+
+The XLA marchers (sensors/tactile.py, sensors/camera.py) run their
+fixed-trip sphere-trace as a `lax.scan`, so every iteration round-trips
+[N, F, H, W]-sized ray state through HBM, and the [N, F, H, W, 3] ray
+directions are materialized up front (~150 MB at 1024 envs). These kernels
+keep a block of rays resident in VMEM: per-(env, finger) camera rotations
+ride in as scalar planes, ray directions are reconstructed in-register from
+the constant pixel grid, and ALL march iterations + SDF family blends +
+normals + shading run without touching HBM — one scalar-plane read, one
+image write.
+
+Replaces (reference): the TACTO/pyrender EGL per-finger CPU loop
+(allsight/tacto/renderer.py, factory_task_insertion.py:479-583) and the
+IsaacGym camera sensors (factory_env_insertion.py:940-1003) — see
+sensors/tactile.py / sensors/camera.py for the semantic parity map; this
+module is their TPU execution engine (parity tests:
+tests/test_render_pallas.py, interpret mode off-TPU).
+
+Layout: pixels on the 128-lane axis (tactile 64×64 = 4096 = 32 lanes-rows;
+camera 54×96 = 5184 padded to 5248), one (env, finger) per sublane row,
+BLOCK_R rows per program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..ops.sdf import TRAPEZOID_TOP_RATIO
+
+LANE = 128
+BLOCK_R = 8
+
+
+def _pad_axis(x, size, axis, value=0.0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# ------------------------------------------------------------------ plane SDFs
+# Plane-form ports of ops/sdf.py: every function takes [B, P] coordinate
+# planes and [B, 1] per-row shape scalars and returns a [B, P] distance plane.
+# Formulas are identical (incl. the gradient-safe epsilons) — ops/sdf.py is
+# the oracle in the parity tests.
+
+
+def _pnorm2(x, y):
+    return jnp.sqrt(x * x + y * y + 1e-18)
+
+
+def _sd_circle(px, py, hx, hy):
+    del hy
+    return _pnorm2(px, py) - hx
+
+
+def _sd_box2d(px, py, hx, hy):
+    dx = jnp.abs(px) - hx
+    dy = jnp.abs(py) - hy
+    return _pnorm2(jnp.maximum(dx, 0.0), jnp.maximum(dy, 0.0)) + jnp.minimum(
+        jnp.maximum(dx, dy), 0.0
+    )
+
+
+def _sd_hexagon(px, py, hx, hy):
+    del hy
+    kx, ky, kz = -0.8660254037844386, 0.5, 0.5773502691896258
+    qx, qy = jnp.abs(px), jnp.abs(py)
+    dot = kx * qx + ky * qy
+    m = 2.0 * jnp.minimum(dot, 0.0)
+    qx = qx - m * kx
+    qy = qy - m * ky
+    cx = qx.clip(-kz * hx, kz * hx)
+    return _pnorm2(qx - cx, qy - hx) * jnp.sign(qy - hx)
+
+
+def _sd_ellipse(px, py, hx, hy):
+    ex, ey = px / hx, py / hy
+    k0 = jnp.sqrt(ex * ex + ey * ey + 1e-18)
+    fx, fy = px / (hx * hx), py / (hy * hy)
+    k1 = jnp.maximum(jnp.sqrt(fx * fx + fy * fy + 1e-18), 1e-9)
+    return jnp.where(k0 < 1e-6, -jnp.minimum(hx, hy), k0 * (k0 - 1.0) / k1)
+
+
+def _sd_trapezoid(px_in, py_in, hx, hy):
+    r1 = hx
+    r2 = TRAPEZOID_TOP_RATIO * hx
+    he = hy
+    px = jnp.abs(px_in)
+    y_c = 2.0 * hy * (r1 + 2.0 * r2) / (3.0 * (r1 + r2)) - hy
+    py = py_in + y_c
+    k1x, k1y = r2, he
+    k2x, k2y = r2 - r1, 2.0 * he
+    ca_x = px - jnp.minimum(px, jnp.where(py < 0.0, r1, r2))
+    ca_y = jnp.abs(py) - he
+    k2n = jnp.maximum(k2x * k2x + k2y * k2y, 1e-12)
+    t = (((k1x - px) * k2x + (k1y - py) * k2y) / k2n).clip(0.0, 1.0)
+    cbx = px - k1x + k2x * t
+    cby = py - k1y + k2y * t
+    s = jnp.where((cbx < 0.0) & (ca_y < 0.0), -1.0, 1.0)
+    d2 = jnp.minimum(ca_x * ca_x + ca_y * ca_y, cbx * cbx + cby * cby)
+    return s * jnp.sqrt(d2 + 1e-18)
+
+
+def _sd_segment(px, py, ax, ay, bx, by):
+    pax, pay = px - ax, py - ay
+    bax, bay = bx - ax, by - ay
+    h = ((pax * bax + pay * bay) / jnp.maximum(bax * bax + bay * bay, 1e-12)).clip(0.0, 1.0)
+    return _pnorm2(pax - bax * h, pay - bay * h)
+
+
+def _sd_triangle_iso(px, py, hx, hy):
+    y0 = -2.0 * hy / 3.0
+    ax, ay = -hx, y0
+    bx, by = hx, y0
+    cx, cy = jnp.zeros_like(hx), y0 + 2.0 * hy
+    d = jnp.minimum(
+        jnp.minimum(_sd_segment(px, py, ax, ay, bx, by), _sd_segment(px, py, bx, by, cx, cy)),
+        _sd_segment(px, py, cx, cy, ax, ay),
+    )
+
+    def edge(e0x, e0y, e1x, e1y):
+        return (e1x - e0x) * (py - e0y) - (e1y - e0y) * (px - e0x)
+
+    inside = (
+        (edge(ax, ay, bx, by) > 0)
+        & (edge(bx, by, cx, cy) > 0)
+        & (edge(cx, cy, ax, ay) > 0)
+    )
+    return jnp.where(inside, -d, d)
+
+
+_PLANE_SECTIONS = (_sd_circle, _sd_box2d, _sd_hexagon, _sd_ellipse,
+                   _sd_trapezoid, _sd_triangle_iso)
+
+
+def _section_sdf_planes(px, py, oh, hx, hy):
+    """One-hot blend of the six section families. oh: tuple of 6 [B, 1]."""
+    d = None
+    for k, fn in enumerate(_PLANE_SECTIONS):
+        dk = fn(px, py, hx, hy) * oh[k]
+        d = dk if d is None else d + dk
+    return d
+
+
+def _extrude(d2, z, half_len, z_center):
+    wz = jnp.abs(z - z_center) - half_len
+    dx = jnp.maximum(d2, 0.0)
+    dz = jnp.maximum(wz, 0.0)
+    return jnp.sqrt(dx * dx + dz * dz + 1e-18) + jnp.minimum(jnp.maximum(d2, wz), 0.0)
+
+
+def _plug_sdf_planes(px, py, pz, oh, hx, hy, length):
+    d2 = _section_sdf_planes(px, py, oh, hx, hy)
+    return _extrude(d2, pz, 0.5 * length, 0.5 * length)
+
+
+def _socket_sdf_planes(px, py, pz, oh, hole_hx, hole_hy, height,
+                       plate_hx: float, plate_hy: float):
+    plate2 = _sd_box2d(px, py, jnp.full_like(hole_hx, plate_hx),
+                       jnp.full_like(hole_hx, plate_hy))
+    plate = _extrude(plate2, pz, 0.5 * height, 0.5 * height)
+    hole2 = _section_sdf_planes(px, py, oh, hole_hx, hole_hy)
+    return jnp.maximum(plate, -hole2)
+
+
+# tetrahedron finite-difference directions for SDF normals
+_TET = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0), (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
+_FD_EPS = 2.0e-5
+
+# 3 RGB lights (sensors/tactile.py _light_dirs/_LIGHT_COLORS)
+_LIGHTS = (
+    (0.7, 0.0, 0.714, 1.0, 0.25, 0.25),
+    (-0.35, 0.6062177826491071, 0.714, 0.25, 1.0, 0.25),
+    (-0.35, -0.6062177826491071, 0.714, 0.25, 0.25, 1.0),
+)
+
+
+def _tactile_kernel(scal, rays, r_out, g_out, b_out, *, iters: int,
+                    max_range: float, max_deformation: float,
+                    force_range: float, t0: float):
+    S = scal[...]
+    c = lambda i: S[:, i:i + 1]
+    m = [c(i) for i in range(9)]                     # camera→plug rotation
+    ox, oy, oz = c(9), c(10), c(11)
+    oh = tuple(c(12 + k) for k in range(6))
+    hx, hy, length = c(18), c(19), c(20)
+    force = c(21)
+
+    R = rays[...]                                    # [3, P]
+    rx, ry, rz = R[0:1, :], R[1:2, :], R[2:3, :]
+    dx = m[0] * rx + m[1] * ry + m[2] * rz           # [B, P]
+    dy = m[3] * rx + m[4] * ry + m[5] * rz
+    dz = m[6] * rx + m[7] * ry + m[8] * rz
+
+    def sdf(px, py, pz):
+        return _plug_sdf_planes(px, py, pz, oh, hx, hy, length)
+
+    t = jnp.full(dx.shape, t0, dx.dtype)
+    for _ in range(iters):
+        d = sdf(ox + dx * t, oy + dy * t, oz + dz * t)
+        t = jnp.minimum(t + jnp.maximum(d, 1e-4), max_range)
+
+    px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+    d_final = sdf(px, py, pz)
+    # tetrahedron FD normal (plug frame)
+    nx = jnp.zeros_like(d_final)
+    ny = jnp.zeros_like(d_final)
+    nz = jnp.zeros_like(d_final)
+    for ex, ey, ez in _TET:
+        dd = sdf(px + _FD_EPS * ex, py + _FD_EPS * ey, pz + _FD_EPS * ez)
+        nx = nx + ex * dd
+        ny = ny + ey * dd
+        nz = nz + ez * dd
+    inv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-9)
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+
+    hit = ((d_final < 2e-3) & (t < max_range - 1e-4)).astype(t.dtype)
+    indent = max_deformation * jnp.clip(force / force_range, 0.0, 1.0)
+    height = jnp.clip(1.0 - (t - indent) / max_range, 0.0, 1.0) * hit
+
+    # normal back to camera frame: n_c = Mᵀ n_p
+    ncx = m[0] * nx + m[3] * ny + m[6] * nz
+    ncy = m[1] * nx + m[4] * ny + m[7] * nz
+    ncz = m[2] * nx + m[5] * ny + m[8] * nz
+    r = jnp.zeros_like(height)
+    g = jnp.zeros_like(height)
+    b = jnp.zeros_like(height)
+    for lx, ly, lz, cr, cg, cb in _LIGHTS:
+        lam = jnp.clip(-(ncx * lx + ncy * ly + ncz * lz), 0.0, 1.0)
+        r = r + lam * cr
+        g = g + lam * cg
+        b = b + lam * cb
+    r_out[...] = r * height
+    g_out[...] = g * height
+    b_out[...] = b * height
+
+
+def tactile_march_fused(
+    M: jax.Array,       # [R, 3, 3] camera→plug rotations (R = N*F rows)
+    o: jax.Array,       # [R, 3] ray origin in the plug frame
+    kind_onehot: jax.Array,  # [R, 6]
+    hx: jax.Array, hy: jax.Array, length: jax.Array, force: jax.Array,  # [R]
+    rays_c: jax.Array,  # [HW, 3] constant pixel ray dirs (camera frame)
+    iters: int, max_range: float, max_deformation: float, force_range: float,
+    t0: float = 1e-3,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Returns shaded RGB planes [R, HW, 3] (pre-mask, pre-noise)."""
+    rr, hw = M.shape[0], rays_c.shape[0]
+    assert hw % LANE == 0, "pad pixel count to a lane multiple"
+    r_pad = ((rr + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
+
+    scal = jnp.concatenate(
+        [
+            M.reshape(rr, 9), o, kind_onehot,
+            hx[:, None], hy[:, None], length[:, None], force[:, None],
+            jnp.zeros((rr, LANE - 22), M.dtype),
+        ],
+        axis=1,
+    )
+    scal = _pad_axis(scal, r_pad, axis=0)
+    # padded rows need nonzero shape params to avoid 0/0 in the ellipse SDF
+    if r_pad > rr:
+        scal = scal.at[rr:, 18:21].set(1.0)
+    rays = rays_c.T  # [3, HW]
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    grid = (r_pad // BLOCK_R,)
+    kernel = functools.partial(
+        _tactile_kernel, iters=iters, max_range=max_range,
+        max_deformation=max_deformation, force_range=force_range, t0=t0,
+    )
+    plane = pl.BlockSpec((BLOCK_R, hw), lambda i: (i, 0))
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0)),
+            pl.BlockSpec((3, hw), lambda i: (0, 0)),
+        ],
+        out_specs=[plane] * 3,
+        out_shape=[jax.ShapeDtypeStruct((r_pad, hw), M.dtype)] * 3,
+        interpret=interpret,
+    )(scal, rays)
+    return jnp.stack([r[:rr], g[:rr], b[:rr]], axis=-1)
+
+
+def _camera_kernel(scal, rays, t_out, dmin_out, comp_out, *, iters: int,
+                   near: float, far: float, plate_hx: float, plate_hy: float):
+    S = scal[...]
+    c = lambda i: S[:, i:i + 1]
+    mp = [c(i) for i in range(9)]            # camera→plug rotation
+    opx, opy, opz = c(9), c(10), c(11)
+    ms = [c(12 + i) for i in range(9)]       # camera→socket rotation
+    osx, osy, osz = c(21), c(22), c(23)
+    wz0, wz1, wz2 = c(24), c(25), c(26)      # world-z row of the camera rot
+    cam_z = c(27)
+    oh = tuple(c(28 + k) for k in range(6))
+    phx, phy, plen = c(34), c(35), c(36)
+    hhx, hhy, sheight = c(37), c(38), c(39)
+    table_h = c(40)
+
+    R = rays[...]
+    rx, ry, rz = R[0:1, :], R[1:2, :], R[2:3, :]
+    dpx = mp[0] * rx + mp[1] * ry + mp[2] * rz
+    dpy = mp[3] * rx + mp[4] * ry + mp[5] * rz
+    dpz = mp[6] * rx + mp[7] * ry + mp[8] * rz
+    dsx = ms[0] * rx + ms[1] * ry + ms[2] * rz
+    dsy = ms[3] * rx + ms[4] * ry + ms[5] * rz
+    dsz = ms[6] * rx + ms[7] * ry + ms[8] * rz
+    dwz = wz0 * rx + wz1 * ry + wz2 * rz     # world-frame ray z component
+
+    def scene(t):
+        d_plug = _plug_sdf_planes(opx + dpx * t, opy + dpy * t, opz + dpz * t,
+                                  oh, phx, phy, plen)
+        d_sock = _socket_sdf_planes(osx + dsx * t, osy + dsy * t, osz + dsz * t,
+                                    oh, hhx, hhy, sheight, plate_hx, plate_hy)
+        d_table = (cam_z + dwz * t) - table_h
+        return d_table, d_plug, d_sock
+
+    t = jnp.full(dpx.shape, near, dpx.dtype)
+    for _ in range(iters):
+        dt, dp, ds = scene(t)
+        d = jnp.minimum(jnp.minimum(dt, dp), ds)
+        t = jnp.minimum(t + jnp.maximum(d, 1e-4), far)
+
+    dt, dp, ds = scene(t)
+    dmin = jnp.minimum(jnp.minimum(dt, dp), ds)
+    # argmin first-wins tie order: table (0), plug (1), socket (2)
+    comp = jnp.where(dt <= dmin, 0.0, jnp.where(dp <= dmin, 1.0, 2.0))
+    t_out[...] = t
+    dmin_out[...] = dmin
+    comp_out[...] = comp
+
+
+def camera_march_fused(
+    M_plug: jax.Array,   # [N, 3, 3] camera→plug rotations
+    o_plug: jax.Array,   # [N, 3]
+    M_sock: jax.Array,   # [N, 3, 3]
+    o_sock: jax.Array,   # [N, 3]
+    cam_R_zrow: jax.Array,  # [N, 3] world-z row of the camera rotation
+    cam_z: jax.Array,       # [N] camera world z
+    kind_onehot: jax.Array,
+    plug_hx, plug_hy, plug_length, hole_hx, hole_hy, socket_height, table_h,
+    rays_c: jax.Array,   # [HW_pad, 3]
+    iters: int, near: float, far: float, plate_hx: float, plate_hy: float,
+    interpret: bool | None = None,
+):
+    """Returns (t_hit, d_min, comp) planes [N, HW_pad]; comp ∈ {0 table,
+    1 plug, 2 socket} as float."""
+    n, hw = M_plug.shape[0], rays_c.shape[0]
+    assert hw % LANE == 0
+    n_pad = ((n + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
+
+    scal = jnp.concatenate(
+        [
+            M_plug.reshape(n, 9), o_plug, M_sock.reshape(n, 9), o_sock,
+            cam_R_zrow, cam_z[:, None], kind_onehot,
+            plug_hx[:, None], plug_hy[:, None], plug_length[:, None],
+            hole_hx[:, None], hole_hy[:, None], socket_height[:, None],
+            table_h[:, None],
+            jnp.zeros((n, LANE - 41), M_plug.dtype),
+        ],
+        axis=1,
+    )
+    scal = _pad_axis(scal, n_pad, axis=0)
+    if n_pad > n:
+        scal = scal.at[n:, 34:40].set(1.0)  # avoid 0/0 in padded-row SDFs
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    grid = (n_pad // BLOCK_R,)
+    kernel = functools.partial(
+        _camera_kernel, iters=iters, near=near, far=far,
+        plate_hx=plate_hx, plate_hy=plate_hy,
+    )
+    plane = pl.BlockSpec((BLOCK_R, hw), lambda i: (i, 0))
+    t_hit, dmin, comp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0)),
+            pl.BlockSpec((3, hw), lambda i: (0, 0)),
+        ],
+        out_specs=[plane] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, hw), M_plug.dtype)] * 3,
+        interpret=interpret,
+    )(scal, rays_c.T)
+    return t_hit[:n], dmin[:n], comp[:n]

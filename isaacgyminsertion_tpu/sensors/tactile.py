@@ -88,8 +88,13 @@ def render_tactile(
     force: jax.Array,        # [N, F] smoothed contact force magnitude
     noise_key: jax.Array | None = None,
     noise_std: float = 0.0,
+    fused: bool | None = None,
 ) -> jax.Array:
-    """Render [N, F, H, W, C] tactile images in one fused ray-march."""
+    """Render [N, F, H, W, C] tactile images in one fused ray-march.
+
+    `fused` selects the Pallas kernel (sensors/render_pallas.py) that keeps
+    the march in VMEM; default: on for TPU, XLA path elsewhere.
+    """
     n, f = tip_t.shape[:2]
     rays_c = _pixel_rays(cfg)                                  # [H, W, 3]
 
@@ -103,10 +108,34 @@ def render_tactile(
     cam_R = jnp.stack([right, up, view], axis=-1)              # [N, F, 3, 3] cols
     cam_t = tip_t - view * cfg.cam_offset
 
-    # rays to world, then into the plug frame
-    rays_w = jnp.einsum("nfij,hwj->nfhwi", cam_R, rays_c)
     inv_q, inv_t = rot.tf_inverse(plug_q, plug_pos)
     o_p = inv_t[:, None, :] + rot.quat_apply(inv_q[:, None, :], cam_t)  # [N, F, 3]
+
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    if fused:
+        from . import render_pallas as rp
+
+        hw = cfg.height * cfg.width
+        hw_pad = ((hw + rp.LANE - 1) // rp.LANE) * rp.LANE
+        rays_flat = rays_c.reshape(hw, 3)
+        if hw_pad > hw:
+            pad = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (hw_pad - hw, 1))
+            rays_flat = jnp.concatenate([rays_flat, pad], axis=0)
+        Rp = rot.quat_to_matrix(inv_q)                          # [N, 3, 3]
+        M = jnp.einsum("nij,nfjk->nfik", Rp, cam_R).reshape(n * f, 3, 3)
+        rep = lambda x: jnp.repeat(x, f, axis=0)
+        rgbh = rp.tactile_march_fused(
+            M, o_p.reshape(n * f, 3), rep(kind_onehot), rep(plug_hx),
+            rep(plug_hy), rep(plug_length), force.reshape(n * f),
+            rays_flat, iters=cfg.march_iters, max_range=cfg.max_range,
+            max_deformation=cfg.max_deformation, force_range=cfg.force_range,
+        )                                                        # [R, HW_pad, 3]
+        img = rgbh[:, :hw].reshape(n, f, cfg.height, cfg.width, 3)
+        return _tactile_epilogue(cfg, img, noise_key, noise_std)
+
+    # rays to world, then into the plug frame (XLA reference path)
+    rays_w = jnp.einsum("nfij,hwj->nfhwi", cam_R, rays_c)
     d_p = rot.quat_apply(inv_q[:, None, None, None, :], rays_w)         # [N, F, H, W, 3]
 
     def psdf(p):
@@ -147,7 +176,13 @@ def render_tactile(
     )  # [N, F, H, W, 3lights]
     rgb = jnp.einsum("nfhwl,lc->nfhwc", lambert, _LIGHT_COLORS)
     img = rgb * height[..., None]
+    return _tactile_epilogue(cfg, img, noise_key, noise_std)
 
+
+def _tactile_epilogue(cfg: TactileConfig, img: jax.Array,
+                      noise_key, noise_std: float) -> jax.Array:
+    """Mask + background + noise + channel post-processing (shared by the
+    XLA and Pallas march paths)."""
     # circular gel mask
     yy, xx = jnp.meshgrid(
         jnp.linspace(-1, 1, cfg.height), jnp.linspace(-1, 1, cfg.width), indexing="ij"

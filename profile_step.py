@@ -65,6 +65,18 @@ def main(n_envs=1024, reps=20):
     sens = jax.jit(lambda s: insertion.step(cfg_sens, model, subs, s, acts)[0])
     timeit("sensors_on", sens, state_s, reps=max(reps // 4, 3))
 
+    # per-modality ablations (each = base step + one modality)
+    for name, flags in (
+        ("tactile_only", dict(tactile=True)),
+        ("depthseg_only", dict(external_cam=True, depth_cam=True, seg_cam=True)),
+        ("pcl_only", dict(external_cam=True, pcl_cam=True)),
+        ("contact_only", dict(compute_contact_gt=True)),
+    ):
+        cfg_m = cfg.replace(env=dataclasses.replace(cfg.env, **flags))
+        st_m = insertion.reset_all(cfg_m, model, subs, jax.random.PRNGKey(0), n_envs)
+        fn = jax.jit(lambda s, c=cfg_m: insertion.step(c, model, subs, s, acts)[0])
+        timeit(name, fn, st_m, reps=max(reps // 4, 3))
+
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024

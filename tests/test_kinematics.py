@@ -187,3 +187,19 @@ def test_coriolis_antisymmetry(model):
     qdd = -jnp.linalg.solve(M, C)
     dke = jax.jvp(ke, (q, qd), (qd, qdd))[1]
     assert abs(float(dke)) < 1e-3, float(dke)
+
+
+def test_pointer_jumping_fk_matches_serial(model):
+    """forward_kinematics (pointer-jumping parallel prefix) ≡ the serial
+    chain-walk oracle on random configurations."""
+    from isaacgyminsertion_tpu.physics.kinematics import (
+        _forward_kinematics_serial,
+        forward_kinematics,
+    )
+
+    q = jnp.asarray(np.random.default_rng(3).uniform(-2.0, 2.0, (32, 15)),
+                    jnp.float32)
+    a = forward_kinematics(model, q)
+    b = _forward_kinematics_serial(model, q)
+    for name in a._fields:
+        assert float(jnp.max(jnp.abs(getattr(a, name) - getattr(b, name)))) < 1e-5
