@@ -1,0 +1,77 @@
+"""Fused Pallas renderer parity tests (interpret mode off-TPU).
+
+The Pallas marchers (sensors/render_pallas.py) must reproduce the XLA
+reference paths in sensors/tactile.py / sensors/camera.py. The only allowed
+deviations are f32 reassociation at silhouette edges (hit-test flips on a
+handful of pixels) and the tetrahedron finite-difference normal vs the exact
+vjp normal.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from isaacgyminsertion_tpu.ops import rotations as rot
+from isaacgyminsertion_tpu.sensors import camera as C
+from isaacgyminsertion_tpu.sensors import tactile as T
+
+
+def test_tactile_fused_matches_xla():
+    rng = np.random.default_rng(0)
+    n, f = 2, 3
+    cfg = T.TactileConfig(march_iters=8)
+    tip_q = rot.quat_unit(jnp.asarray(rng.normal(size=(n, f, 4)), jnp.float32))
+    tip_t = jnp.asarray(rng.uniform(0.45, 0.55, (n, f, 3)), jnp.float32)
+    plug_q = rot.quat_unit(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32))
+    plug_pos = jnp.asarray(rng.uniform(0.45, 0.55, (n, 3)), jnp.float32)
+    oh = jnp.eye(6)[rng.integers(0, 6, n)]
+    hx = jnp.asarray(rng.uniform(0.005, 0.02, n), jnp.float32)
+    hy = jnp.asarray(rng.uniform(0.005, 0.02, n), jnp.float32)
+    ln = jnp.asarray(rng.uniform(0.03, 0.06, n), jnp.float32)
+    force = jnp.asarray(rng.uniform(0, 8, (n, f)), jnp.float32)
+
+    a = np.asarray(T.render_tactile(cfg, tip_q, tip_t, plug_q, plug_pos, oh,
+                                    hx, hy, ln, force, fused=False))
+    b = np.asarray(T.render_tactile(cfg, tip_q, tip_t, plug_q, plug_pos, oh,
+                                    hx, hy, ln, force, fused=True))
+    assert a.shape == b.shape == (n, f, cfg.height, cfg.width, 3)
+    d = np.abs(a - b)
+    assert d.mean() < 1e-3
+    # edge-pixel hit flips only: <0.1% of pixels may differ visibly
+    assert (d > 0.05).mean() < 1e-3
+
+
+def test_camera_fused_matches_xla():
+    rng = np.random.default_rng(1)
+    n = 2
+    cfg = C.CameraConfig(march_iters=6)
+    plug_q = rot.quat_unit(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32))
+    plug_pos = jnp.asarray(rng.uniform(0.45, 0.55, (n, 3)), jnp.float32)
+    sock_q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1))
+    sock_pos = jnp.asarray(
+        rng.uniform(0.48, 0.52, (n, 3)) * np.asarray([1, 1, 0.02]), jnp.float32
+    )
+    oh = jnp.eye(6)[rng.integers(0, 6, n)]
+    phx = jnp.asarray(rng.uniform(0.005, 0.02, n), jnp.float32)
+    phy = phx * 1.1
+    plen = jnp.asarray(rng.uniform(0.03, 0.06, n), jnp.float32)
+    args = (plug_q, plug_pos, sock_q, sock_pos, oh, phx, phy, plen,
+            phx * 1.05, phy * 1.05, jnp.full((n,), 0.02), jnp.full((n,), 0.001))
+
+    dn_a, seg_a, _ = C.render_depth_seg(cfg, *args, fused=False)
+    dn_b, seg_b, _ = C.render_depth_seg(cfg, *args, fused=True)
+    assert np.abs(np.asarray(dn_a) - np.asarray(dn_b)).mean() < 1e-3
+    assert (np.asarray(seg_a) != np.asarray(seg_b)).mean() < 5e-3
+
+    # per-env dynamic camera poses (robot-attached viz cams)
+    cq = rot.quat_unit(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32))
+    ct = jnp.asarray(rng.uniform(0.4, 0.8, (n, 3)), jnp.float32)
+    dn_c, seg_c, _ = C.render_depth_seg(cfg, *args, cam_quat=cq, cam_pos=ct,
+                                        fused=False)
+    dn_d, seg_d, _ = C.render_depth_seg(cfg, *args, cam_quat=cq, cam_pos=ct,
+                                        fused=True)
+    assert np.abs(np.asarray(dn_c) - np.asarray(dn_d)).mean() < 1e-3
+    assert (np.asarray(seg_c) != np.asarray(seg_d)).mean() < 5e-3
