@@ -117,3 +117,40 @@ class DataLoggerSim:
 
     def close(self):
         self.writer.close()
+
+
+class DataLoggerReal:
+    """Hardware-rollout logger (parity: DataLoggerReal/RealLogger,
+    experience.py:492-866): single-stream step accumulation from the deploy
+    loop, same npz trajectory schema as DataLoggerSim so offline training
+    consumes sim and real recordings interchangeably. Feed it from
+    HardwarePlayer.deploy via `logger.add_step(...)`."""
+
+    def __init__(self, out_dir: str, max_len: int = 1024):
+        self.writer = TrajectoryWriter(out_dir)
+        self.max_len = max_len
+        self.buffer: list[dict[str, np.ndarray]] = []
+
+    def add_step(self, obs: dict[str, Any], action: np.ndarray,
+                 done: bool = False, **extra):
+        step = {k: np.asarray(v) for k, v in obs.items() if np.asarray(v).size}
+        step["actions"] = np.asarray(action)
+        step["done"] = np.asarray(done)
+        for k, v in extra.items():
+            step[k] = np.asarray(v)
+        self.buffer.append(step)
+        if done or len(self.buffer) >= self.max_len:
+            self.flush()
+
+    def flush(self):
+        traj, self.buffer = self.buffer, []
+        if len(traj) < 2:
+            return
+        keys = set(traj[0]).intersection(*[set(s) for s in traj])
+        data = {k: np.stack([s[k] for s in traj]) for k in keys}
+        data["done_idx"] = np.asarray(len(traj) - 1)
+        self.writer.submit(data)
+
+    def close(self):
+        self.flush()
+        self.writer.close()

@@ -120,14 +120,19 @@ class HardwarePlayer:
 
         self._act = jax.jit(act)
 
-    def deploy(self, hw: HardwareInterface, num_steps: int = 500) -> int:
-        """Run the 60 Hz action loop; returns executed steps."""
+    def deploy(self, hw: HardwareInterface, num_steps: int = 500,
+               logger=None) -> int:
+        """Run the 60 Hz action loop; returns executed steps. `logger` is an
+        optional data.logger.DataLoggerReal recording the rollout."""
         hw.reset()
         for t in range(num_steps):
-            obs = hw.get_observation()["obs"]
-            act = np.asarray(self._act(jnp.asarray(obs[None], jnp.float32)))[0]
+            ob = hw.get_observation()
+            act = np.asarray(self._act(jnp.asarray(ob["obs"][None], jnp.float32)))[0]
             hw.apply_action(act[:3] * self.pos_action_scale, act[3:] * self.rot_action_scale)
-            if getattr(hw, "success", False):
+            done = bool(getattr(hw, "success", False)) or t == num_steps - 1
+            if logger is not None:
+                logger.add_step(ob, act, done=done)
+            if done and t < num_steps - 1:
                 return t + 1
         return num_steps
 

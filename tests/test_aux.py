@@ -78,3 +78,21 @@ def test_video_capture(tmp_path):
 
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_real_logger_records_deploy_rollout(tmp_path):
+    import glob
+
+    from isaacgyminsertion_tpu.data.logger import DataLoggerReal
+
+    logger = DataLoggerReal(str(tmp_path), max_len=8)
+    for t in range(5):
+        logger.add_step({"obs": np.arange(15.0), "eef_pos": np.zeros(3)},
+                        np.zeros(6), done=(t == 4))
+    logger.close()
+    files = glob.glob(str(tmp_path / "traj_*.npz"))
+    assert len(files) == 1
+    with np.load(files[0]) as d:
+        assert d["actions"].shape == (5, 6)
+        assert int(d["done_idx"]) == 4
+        assert d["obs"].shape == (5, 15)
