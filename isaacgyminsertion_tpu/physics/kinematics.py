@@ -26,14 +26,15 @@ class FK(NamedTuple):
     com_w: jax.Array    # [..., nd, 3] world-frame body com
 
 
-def forward_kinematics(model: RobotModel, q: jax.Array) -> FK:
-    """FK over the static tree by pointer-jumping (parallel prefix). q: [..., nd].
+def forward_kinematics_jump(model: RobotModel, q: jax.Array) -> FK:
+    """FK by pointer-jumping (parallel prefix over the static tree).
 
-    The serial chain walk (`_forward_kinematics_serial`) unrolls to ~5 tiny
-    ops per joint with sequential depth = tree depth (10 for KUKA+OpenHand) —
-    latency-bound on TPU. Pointer jumping composes transforms along ancestor
-    paths in ceil(log2(depth)) = 4 batched [..., nd, .] rounds with a static
-    (trace-time) jump schedule, cutting both op count and sequential depth.
+    Composes transforms along ancestor paths in ceil(log2(depth)) = 4 batched
+    [..., nd, .] rounds with a static jump schedule. MEASURED on TPU v5
+    (1024 envs): 0.8-1.0 ms vs 0.73 ms for the serial walk — XLA already
+    fuses the unrolled chain, and the jump gathers add overhead, so the
+    serial walk below stays the default; this variant is kept as the
+    documented alternative (+ parity test).
     """
     import numpy as np
 
@@ -61,8 +62,12 @@ def forward_kinematics(model: RobotModel, q: jax.Array) -> FK:
     return FK(body_q=Q, body_t=T, joint_axis_w=axis_w, com_w=com_w)
 
 
-def _forward_kinematics_serial(model: RobotModel, q: jax.Array) -> FK:
-    """Reference serial chain walk (kept as the parity oracle for tests)."""
+def forward_kinematics(model: RobotModel, q: jax.Array) -> FK:
+    """FK over the static tree (serial chain walk, unrolled at trace time).
+
+    q: [..., nd]. The tree is static, so the per-body loop unrolls and XLA
+    fuses the whole chain; measured faster than the pointer-jumping variant
+    above on TPU (see forward_kinematics_jump docstring)."""
     nd = model.parent.shape[0]
     batch = q.shape[:-1]
     ident_q = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0], q.dtype), batch + (4,))

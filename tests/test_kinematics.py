@@ -193,13 +193,13 @@ def test_pointer_jumping_fk_matches_serial(model):
     """forward_kinematics (pointer-jumping parallel prefix) ≡ the serial
     chain-walk oracle on random configurations."""
     from isaacgyminsertion_tpu.physics.kinematics import (
-        _forward_kinematics_serial,
         forward_kinematics,
+        forward_kinematics_jump,
     )
 
     q = jnp.asarray(np.random.default_rng(3).uniform(-2.0, 2.0, (32, 15)),
                     jnp.float32)
-    a = forward_kinematics(model, q)
-    b = _forward_kinematics_serial(model, q)
+    a = forward_kinematics_jump(model, q)
+    b = forward_kinematics(model, q)
     for name in a._fields:
         assert float(jnp.max(jnp.abs(getattr(a, name) - getattr(b, name)))) < 1e-5
