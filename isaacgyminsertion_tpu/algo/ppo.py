@@ -51,6 +51,10 @@ class PPOConfig:
     grad_norm: float = 1.0
     learning_rate: float = 2.5e-4
     kl_threshold: float = 0.02
+    # "fixed" (reference default: AdaptiveScheduler present but disabled,
+    # frozen_ppo.py:630) | "kl" (AdaptiveScheduler semantics, frozen_ppo.py:
+    # 864-877: kl > 2·thr → lr/1.5, kl < thr/2 → lr·1.5, clamped [1e-6, 1e-2])
+    lr_schedule: str = "fixed"
     value_bootstrap: bool = True
     normalize_input: bool = True
     normalize_value: bool = True
@@ -106,10 +110,18 @@ def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rn
     dummy_priv = jnp.zeros((1, cfg_task.env.num_states))
     params = net.init(k_net, dummy_obs, dummy_priv)
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(ppo_cfg.grad_norm),
-        optax.adam(ppo_cfg.learning_rate),
-    )
+    if ppo_cfg.lr_schedule == "kl":
+        tx = optax.chain(
+            optax.clip_by_global_norm(ppo_cfg.grad_norm),
+            optax.inject_hyperparams(optax.adam)(
+                learning_rate=ppo_cfg.learning_rate
+            ),
+        )
+    else:
+        tx = optax.chain(
+            optax.clip_by_global_norm(ppo_cfg.grad_norm),
+            optax.adam(ppo_cfg.learning_rate),
+        )
     state = PPOState(
         params=params,
         opt_state=tx.init(params),
@@ -286,6 +298,20 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
         aux = jax.tree_util.tree_map(jnp.mean, aux)
         roll = jax.tree_util.tree_map(jnp.mean, roll_metrics)
         metrics = {**aux, **{f"episode/{k}": v for k, v in roll.items()}}
+
+        if ppo_cfg.lr_schedule == "kl":
+            # AdaptiveScheduler.update (frozen_ppo.py:864-877), applied
+            # per-epoch on the epoch-mean KL
+            inj = opt_state[1]
+            cur = inj.hyperparams["learning_rate"]
+            thr = ppo_cfg.kl_threshold
+            new_lr = jnp.where(aux["kl"] > 2.0 * thr, cur / 1.5,
+                               jnp.where(aux["kl"] < 0.5 * thr, cur * 1.5, cur))
+            new_lr = jnp.clip(new_lr, 1e-6, 1e-2)
+            hp = dict(inj.hyperparams)
+            hp["learning_rate"] = new_lr
+            opt_state = (opt_state[0], inj._replace(hyperparams=hp)) + tuple(opt_state[2:])
+            metrics["info/lr"] = new_lr
 
         n_envs = traj.obs.shape[1]
         new_state = PPOState(

@@ -70,3 +70,27 @@ def test_ppo_epoch_improves_nothing_breaks():
     assert float(state.agent_steps) == 2 * 8 * N
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_adaptive_kl_lr_schedule():
+    """lr_schedule='kl' implements AdaptiveScheduler semantics (frozen_ppo.py:
+    864-877): LR moves opposite the epoch KL, clamped to [1e-6, 1e-2]."""
+    import isaacgyminsertion_tpu.algo.ppo as ppo_mod
+    from isaacgyminsertion_tpu.assets import build_subassembly_set
+    from isaacgyminsertion_tpu.envs.config import default_task_config
+    from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
+
+    cfg = default_task_config()
+    model = build_kuka_openhand()
+    subs = build_subassembly_set()
+    net, tx, state, train_epoch = ppo_mod.build(
+        cfg, ppo_mod.PPOConfig(horizon=4, mini_epochs=2, lr_schedule="kl"),
+        model, subs, 4, jax.random.PRNGKey(0),
+    )
+    step = jax.jit(train_epoch)
+    lrs = []
+    for _ in range(3):
+        state, metrics = step(state)
+        assert np.isfinite(float(metrics["loss"]))
+        lrs.append(float(metrics["info/lr"]))
+    assert all(1e-6 <= lr <= 1e-2 for lr in lrs)
