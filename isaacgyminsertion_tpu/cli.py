@@ -88,6 +88,7 @@ def parse_args(argv: list[str] | None = None) -> dict:
         phase3=False,
         student_checkpoint="",
         grasp_dataset="",
+        eval_envs=None,
     )
     for arg in argv:
         if "=" not in arg:
@@ -114,6 +115,8 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["student_checkpoint"] = str(val)
         elif k in ("grasp_dataset", "task.grasp_dataset"):
             out["grasp_dataset"] = str(val)
+        elif k in ("eval_envs",):
+            out["eval_envs"] = int(val)
         elif k == "task":
             pass  # single task family; accepted for recipe compatibility
         elif k in _KEYMAP:
@@ -168,7 +171,7 @@ def main(argv: list[str] | None = None):
     if args["algo"] == "PPO":
         trainer = PPOTrainer(args["task"], args["ppo"], model, subs,
                              args["num_envs"], args["output"], seed=args["seed"],
-                             grasp_data=grasp_data)
+                             grasp_data=grasp_data, eval_envs=args["eval_envs"])
         if args["checkpoint"]:
             trainer.restore(args["checkpoint"])
         if args["test"]:
