@@ -184,16 +184,11 @@ def build(
     return student, tx, state, train_epoch
 
 
-def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
-                     teacher: TeacherBundle, student, tx):
-    env_step = lambda s, a: insertion.step(cfg_task, model, subs, s, a)
-    act_dim = cfg_task.env.num_actions
-
-    def teacher_act(obs, priv):
-        o = rms_normalize(teacher.obs_rms, obs)
-        p = rms_normalize(teacher.priv_rms, priv)
-        mu, _, _, latent_gt, _ = teacher_net.apply(teacher.params, o, p)
-        return jnp.clip(mu, -1.0, 1.0), latent_gt
+def make_student_act(cfg_task, da_cfg: DAggerConfig, teacher_net,
+                     teacher: TeacherBundle, student):
+    """Student forward: modalities → latent → frozen-actor action
+    (ext_adapt.py act_inference path with the student latent injected).
+    Shared by the train epoch and the standalone student evaluation."""
 
     def student_act(student_params, da_state, obs_n, out):
         inp = _student_inputs(da_cfg, da_state, obs_n, out)
@@ -207,6 +202,36 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
         mu, _, _, _, _ = teacher_net.apply(teacher.params, o, zeros_priv, latent=pred)
         return jnp.clip(mu, -1.0, 1.0), pred
 
+    return student_act
+
+
+def _prev_out_of(env_state, cfg_task):
+    """Wrap the env-state queues as a StepOutput for the CURRENT state (the
+    reference stores modalities produced by the previous post_physics)."""
+    obs = env_state.obs_queue
+    return insertion.StepOutput(
+        obs=obs, student_obs=env_state.obs_stud_queue, priv_info=None,
+        rew=jnp.zeros(obs.shape[0]), reset=env_state.reset_buf,
+        timeout=env_state.timeout_reset_buf, extras={},
+        tactile=env_state.tactile_queue, img=env_state.img_queue,
+        seg=env_state.seg_queue, pcl=env_state.pcl_queue,
+        contacts=env_state.contact_queue,
+    )
+
+
+def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
+                     teacher: TeacherBundle, student, tx):
+    env_step = lambda s, a: insertion.step(cfg_task, model, subs, s, a)
+    act_dim = cfg_task.env.num_actions
+
+    def teacher_act(obs, priv):
+        o = rms_normalize(teacher.obs_rms, obs)
+        p = rms_normalize(teacher.priv_rms, priv)
+        mu, _, _, latent_gt, _ = teacher_net.apply(teacher.params, o, p)
+        return jnp.clip(mu, -1.0, 1.0), latent_gt
+
+    student_act = make_student_act(cfg_task, da_cfg, teacher_net, teacher, student)
+
     def rollout_step(carry, _):
         env_state, da_state, rng = carry
         rng, k_mix = jax.random.split(rng)
@@ -215,17 +240,7 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
         priv = insertion.priv_info_of(cfg_task, model, env_state)
         t_actions, latent_gt = teacher_act(obs, priv)
 
-        # one env step to materialize modalities for the CURRENT state: the
-        # reference stores the modalities produced by post_physics of the
-        # previous step; we equivalently use the queues in env_state
-        prev_out = insertion.StepOutput(
-            obs=obs, student_obs=env_state.obs_stud_queue, priv_info=priv,
-            rew=jnp.zeros(obs.shape[0]), reset=env_state.reset_buf,
-            timeout=env_state.timeout_reset_buf, extras={},
-            tactile=env_state.tactile_queue, img=env_state.img_queue,
-            seg=env_state.seg_queue, pcl=env_state.pcl_queue,
-            contacts=env_state.contact_queue,
-        )
+        prev_out = _prev_out_of(env_state, cfg_task)._replace(priv_info=priv)
         s_actions, s_latent = student_act(da_state.student_params, da_state,
                                           stud_obs_pre, prev_out)
 

@@ -168,6 +168,47 @@ class PPOTrainer:
         return sr
 
 
+def make_student_eval_fn(cfg_task, da_cfg, model, subs, teacher_net, teacher,
+                         student, n_envs: int, chunk: int = 50):
+    """Full-episode student-driven evaluation → success rate (reference
+    eval_s2.sh / test_student.sh: test=True with train.algo=ExtrinsicAdapt →
+    agent.test(); β=0, deterministic student actions)."""
+    from . import ext_adapt as ea
+
+    student_act = ea.make_student_act(cfg_task, da_cfg, teacher_net, teacher, student)
+
+    def chunk_fn(student_params, stud_obs_rms, pcl_rms, env_state):
+        def body(env_state, _):
+            da_like = ea.DAggerState(
+                student_params=None, opt_state=None, stud_obs_rms=stud_obs_rms,
+                pcl_rms=pcl_rms, env_state=env_state, rng=jnp.zeros((2,), jnp.uint32),
+                epoch=jnp.zeros((), jnp.int32), agent_steps=jnp.zeros(()),
+            )
+            prev_out = ea._prev_out_of(env_state, cfg_task)
+            acts, _ = student_act(student_params, da_like,
+                                  env_state.obs_stud_queue, prev_out)
+            env_state, out = insertion.step(cfg_task, model, subs, env_state, acts)
+            return env_state, out.extras["successes"]
+
+        env_state, succ = jax.lax.scan(body, env_state, None, length=chunk)
+        return env_state, succ
+
+    chunk_jit = jax.jit(chunk_fn)
+
+    def evaluate(student_params, stud_obs_rms, pcl_rms, rng):
+        env_state = insertion.reset_all(cfg_task, model, subs, rng, n_envs)
+        ever_success = jnp.zeros((n_envs,))
+        steps = cfg_task.rl.max_episode_length
+        for _ in range(max(steps // chunk, 1)):
+            env_state, succ = chunk_jit(student_params, stud_obs_rms, pcl_rms, env_state)
+            ever_success = jnp.maximum(ever_success, jnp.max(succ, axis=0))
+            ever_success = jnp.maximum(ever_success,
+                                       env_state.success_reset_buf.astype(jnp.float32))
+        return float(jnp.mean(ever_success))
+
+    return evaluate
+
+
 class DAggerTrainer:
     """Stage-2 student trainer (ExtrinsicAdapt.train() parity)."""
 
@@ -181,6 +222,7 @@ class DAggerTrainer:
             params=tree["params"], obs_rms=tree["obs_rms"], priv_rms=tree["priv_rms"],
         )
         self.cfg_task, self.da_cfg, self.n_envs = cfg_task, da_cfg, n_envs
+        self.model, self.subs, self.teacher = model, subs, teacher
         self.student, self.tx, self.state, train_epoch = ea.build(
             cfg_task, da_cfg, model, subs, n_envs, teacher, jax.random.PRNGKey(seed),
             phase3=phase3,
@@ -219,6 +261,32 @@ class DAggerTrainer:
                 self.ckpt.maybe_save_best(tree, float("-inf"),
                                           self.success_meter.current_mean)
         return self.state
+
+    def test(self, n_episodes: int = 1, seed: int = 1234,
+             eval_envs: int | None = None) -> float:
+        """Deterministic student-driven evaluation; prints and returns the
+        success rate (reference eval_s2.sh / test_student.sh path:
+        train.algo=ExtrinsicAdapt test=True → agent.test())."""
+        from ..models.actor_critic import ActorCriticSplit
+
+        obs_dim = self.cfg_task.env.num_obs_hist * self.cfg_task.env.num_observations
+        teacher_net = ActorCriticSplit(
+            num_actions=self.cfg_task.env.num_actions, obs_dim=obs_dim,
+            priv_dim=self.cfg_task.env.num_states,
+        )
+        eval_fn = make_student_eval_fn(
+            self.cfg_task, self.da_cfg, self.model, self.subs, teacher_net,
+            self.teacher, self.student, eval_envs or min(self.n_envs, 64),
+        )
+        rates = [
+            eval_fn(self.state.student_params, self.state.stud_obs_rms,
+                    self.state.pcl_rms, jax.random.PRNGKey(seed + i))
+            for i in range(n_episodes)
+        ]
+        sr = float(np.mean(rates))
+        print(f"Success Rate: {sr:.4f}")
+        self.writer.write(0, {"test/success_rate": sr})
+        return sr
 
     def test_log(self, noise_levels=(0.0, 0.002, 0.005, 0.01), trials: int = 3,
                  epochs_per_trial: int = 2):

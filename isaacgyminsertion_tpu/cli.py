@@ -186,7 +186,10 @@ def main(argv: list[str] | None = None):
                                 teacher_ckpt_path=args["checkpoint"], seed=args["seed"],
                                 phase3=args["phase3"],
                                 student_ckpt_path=args["student_checkpoint"])
-        trainer.train(max_epochs=args["max_epochs"] or 1000)
+        if args["test"]:
+            trainer.test(eval_envs=args["eval_envs"])
+        else:
+            trainer.train(max_epochs=args["max_epochs"] or 1000)
     else:
         raise SystemExit(f"unknown algo {args['algo']}")
 

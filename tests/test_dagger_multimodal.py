@@ -37,3 +37,26 @@ def test_dagger_with_seg_pcl_tactile():
     # student params updated and finite
     for leaf in jax.tree_util.tree_leaves(ds.student_params):
         assert bool(np.isfinite(np.asarray(leaf)).all())
+
+
+def test_student_eval_fn():
+    """eval_s2.sh path: student-driven deterministic eval returns a rate."""
+    from isaacgyminsertion_tpu.algo.trainer import make_student_eval_fn
+    from isaacgyminsertion_tpu.models.actor_critic import ActorCriticSplit
+
+    cfg0 = default_task_config()
+    cfg = cfg0.replace(rl=dataclasses.replace(cfg0.rl, max_episode_length=6))
+    ppo_cfg = ppo_mod.PPOConfig(horizon=2, mini_epochs=2)
+    _, _, ps, _ = ppo_mod.build(cfg, ppo_cfg, MODEL, SUBS, 2, jax.random.PRNGKey(0))
+    teacher = ea.TeacherBundle(ps.params, ps.obs_rms, ps.priv_rms)
+    da = ea.DAggerConfig(horizon=2, mini_epochs=1)
+    student, tx, ds, _ = ea.build(cfg, da, MODEL, SUBS, 2, teacher,
+                                  jax.random.PRNGKey(1))
+    obs_dim = cfg.env.num_obs_hist * cfg.env.num_observations
+    net = ActorCriticSplit(num_actions=cfg.env.num_actions, obs_dim=obs_dim,
+                           priv_dim=cfg.env.num_states)
+    eval_fn = make_student_eval_fn(cfg, da, MODEL, SUBS, net, teacher, student,
+                                   n_envs=2, chunk=3)
+    sr = eval_fn(ds.student_params, ds.stud_obs_rms, ds.pcl_rms,
+                 jax.random.PRNGKey(2))
+    assert 0.0 <= sr <= 1.0
