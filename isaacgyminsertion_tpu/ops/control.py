@@ -57,7 +57,9 @@ def _get_delta_dof_pos(delta_pose, jacobian, ik_method: str = "dls", lambda_val:
         JT = jnp.swapaxes(jacobian, -1, -2)
         A = jnp.einsum("...ik,...jk->...ij", jacobian, jacobian)  # J Jᵀ [..., 6, 6]
         A = A + (lambda_val**2) * jnp.eye(6, dtype=jacobian.dtype)
-        u = jnp.linalg.solve(A, delta_pose[..., None])[..., 0]
+        from .linalg import chol_solve_small
+
+        u = chol_solve_small(A, delta_pose)  # SPD: J Jᵀ + λ²I
         return jnp.einsum("...ij,...j->...i", JT, u)
     if ik_method == "svd":
         # adaptive SVD: damp singular values below a threshold

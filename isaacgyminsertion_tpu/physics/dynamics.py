@@ -135,7 +135,9 @@ def implicit_pd_step(
     nd = q.shape[-1]
     lhs = M + h * jnp.eye(nd, dtype=q.dtype) * (kd_eff + d)[..., None, :]
     rhs = jnp.einsum("...ij,...j->...i", M, qd) + h * (drive + tau_ext - C)
-    qd_new = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs[..., None])[..., 0]
+    from ..ops.linalg import chol_solve_small
+
+    qd_new = chol_solve_small(lhs, rhs)
     vlim = jnp.asarray(model.velocity_limit, q.dtype)
     qd_new = jnp.clip(qd_new, -vlim, vlim)
     q_new = q + h * qd_new

@@ -115,8 +115,17 @@ def solve_contacts(
         v_c = v[..., None, :] + jnp.cross(w[..., None, :], cs.r) - cs.v_other
         v_n_vec = jnp.einsum("...ci,...ci->...c", cs.n, v_c)[..., None] * cs.n
         v_t = v_c - v_n_vec
-        # tangential effective mass (isotropic approx with the normal k)
-        m_eff_t = m_eff_n[..., None]
+        # Tangential effective mass along the slip direction INCLUDING the
+        # rotational coupling (r×t̂)ᵀI⁻¹(r×t̂): the translational-only
+        # approximation overdrives impulses for low-inertia rotation axes —
+        # a slim round peg's yaw (I_zz ≈ mr²/2, lever r) got impulses ~r²m/I_zz
+        # ≈ 2× too large every iteration, leaving ~10 rad/s spin jitter that
+        # random-walked the plug past the 0.4 rad degrasp limit.
+        vt_mag = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1, keepdims=True) + 1e-16)
+        t_hat = v_t / vt_mag
+        u = jnp.cross(cs.r, t_hat)
+        ang = jnp.einsum("...ci,...ij,...cj->...c", u, I_inv_w, u)
+        m_eff_t = (active / (n_active * (1.0 / mass_b + ang)))[..., None]
         dlam_t = -v_t * m_eff_t
         lam_t_new = lam_t + dlam_t
         # project onto friction cone |λ_t| ≤ μ λ_n

@@ -121,9 +121,21 @@ def _solver_kernel(
         vtx = vcx - vn * NX
         vty = vcy - vn * NY
         vtz = vcz - vn * NZ
-        ntx = ltx - vtx * m_eff
-        nty = lty - vty * m_eff
-        ntz = ltz - vtz * m_eff
+        # tangential effective mass with rotational coupling (r×t̂)ᵀI⁻¹(r×t̂)
+        # (see solver.py: translational-only impulses overdrive low-inertia
+        # rotation axes → round-peg yaw spin jitter)
+        vt_mag = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz + 1e-16)
+        thx_u, thy_u, thz_u = vtx / vt_mag, vty / vt_mag, vtz / vt_mag
+        ux = RY * thz_u - RZ * thy_u
+        uy = RZ * thx_u - RX * thz_u
+        uz = RX * thy_u - RY * thx_u
+        ang = (ux * (I00 * ux + I01 * uy + I02 * uz)
+               + uy * (I10 * ux + I11 * uy + I12 * uz)
+               + uz * (I20 * ux + I21 * uy + I22 * uz))
+        m_eff_t = active / (n_active * (inv_m + ang))
+        ntx = ltx - vtx * m_eff_t
+        nty = lty - vty * m_eff_t
+        ntz = ltz - vtz * m_eff_t
         lt_mag = jnp.sqrt(ntx * ntx + nty * nty + ntz * ntz)
         lt_max = MU * lam_n
         scale = jnp.minimum(1.0, lt_max / jnp.maximum(lt_mag, 1e-12))

@@ -70,3 +70,25 @@ def test_env_runs_with_task_space_impedance():
         assert bool(jnp.all(jnp.isfinite(leaf.astype(jnp.float32))))
     # arm stays in a sane configuration under torque control
     assert float(jnp.max(jnp.abs(state.phys.qd[:, :7]))) < 5.0
+
+
+def test_chol_solve_small_matches_linalg():
+    """ops/linalg.chol_solve_small vs jnp.linalg.solve on random SPD batches."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isaacgyminsertion_tpu.ops.linalg import chol_solve_small
+
+    rng = np.random.default_rng(0)
+    for d in (3, 6, 15):
+        B = rng.normal(size=(64, d, d)).astype(np.float32)
+        lhs = B @ np.swapaxes(B, -1, -2) + d * np.eye(d, dtype=np.float32)
+        rhs = rng.normal(size=(64, d)).astype(np.float32)
+        x = chol_solve_small(jnp.asarray(lhs), jnp.asarray(rhs))
+        x_ref = jnp.linalg.solve(jnp.asarray(lhs), jnp.asarray(rhs)[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-4, atol=2e-4)
+    # multi-dim batch shape
+    lhs1 = jnp.asarray(lhs).reshape(8, 8, 15, 15)
+    rhs1 = jnp.asarray(rhs).reshape(8, 8, 15)
+    x = chol_solve_small(lhs1, rhs1)
+    assert x.shape == (8, 8, 15)
