@@ -90,6 +90,17 @@ class SimInterface:
     def success(self) -> bool:
         return bool(self.state.success_reset_buf[0])
 
+    @property
+    def eef_pose(self) -> tuple[np.ndarray, np.ndarray]:
+        """(pos [3], quat [4]) of the fingertip-centered eef frame — the
+        hardware-side pose the calibration loop compares against."""
+        from ..physics.kinematics import forward_kinematics, site_pose
+        from ..physics.robot import SITE_FINGERTIP_CENTERED
+
+        fk = forward_kinematics(self.model, self.state.phys.q)
+        q, t = site_pose(self.model, fk, SITE_FINGERTIP_CENTERED)
+        return np.asarray(t[0]), np.asarray(q[0])
+
 
 class HardwarePlayer:
     """deploy_s2.HardwarePlayer.deploy() mirror."""
