@@ -113,6 +113,10 @@ class FingerContactAux(NamedTuple):
     normal: jax.Array         # [N, F, 3] push-direction on the plug
 
 
+PATCH_POINTS = 5          # center + 4-point ring per gel pad
+PATCH_RING_FRAC = 0.55    # ring offset as a fraction of the pad radius
+
+
 def fingertip_plug_contacts(
     tip_pos: jax.Array,       # [N, F, 3] pad centers (world)
     tip_vel: jax.Array,       # [N, F, 3]
@@ -126,9 +130,21 @@ def fingertip_plug_contacts(
     mat: MaterialParams,
     radius: float = FINGERTIP_RADIUS,
 ) -> tuple[ContactSet, FingerContactAux]:
-    """Sphere-pad vs plug-SDF contacts → [N, F] contact set."""
-    inv_q, inv_t = rot.tf_inverse(plug_q, plug_pos)
-    tip_local = inv_t[..., None, :] + rot.quat_apply(inv_q[..., None, :], tip_pos)
+    """Gel-pad vs plug-SDF PATCH contacts → [N, F*PATCH_POINTS] contact set
+    (finger-major order).
+
+    A gel pad is a ~14.5 mm hemisphere making area contact, which PhysX
+    reproduces through multi-point SDF manifolds. A single point per pad
+    carries zero torque resistance about the pad center, so the grasp cannot
+    resist the roll/pitch slip torques that arise when the held plug meets
+    the socket — measured ~50-60% of episodes ended in degrasp during
+    insertion attempts, which makes risk-free hovering beat insertion under
+    reset_at_fails. Each pad therefore contributes PATCH_POINTS contacts
+    (center + tangent ring at PATCH_RING_FRAC·R), with the gel spring
+    stiffness split per point so the net normal force at a given indentation
+    is unchanged while the patch gains physical lever arms.
+    """
+    F = tip_pos.shape[-2]
 
     def psdf(pl):
         return sdfm.plug_sdf(
@@ -136,23 +152,48 @@ def fingertip_plug_contacts(
             plug_length[..., None],
         )
 
-    d, pullback = jax.vjp(psdf, tip_local)
-    (g,) = pullback(jnp.ones_like(d))
-    out_local = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
-    out_w = rot.quat_apply(plug_q[..., None, :], out_local)  # plug outward normal at pad
+    def query(points_w):
+        inv_q, inv_t = rot.tf_inverse(plug_q, plug_pos)
+        p_local = inv_t[..., None, :] + rot.quat_apply(inv_q[..., None, :], points_w)
+        d, pullback = jax.vjp(psdf, p_local)
+        (g,) = pullback(jnp.ones_like(d))
+        out_local = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
+        return d, rot.quat_apply(plug_q[..., None, :], out_local)
 
-    contact_pt = tip_pos - out_w * jnp.minimum(d, radius)[..., None]
+    # pass 1: pad centers → contact normal → tangent basis of each pad
+    d_c, out_c = query(tip_pos)
+    ref = jnp.zeros_like(out_c).at[..., 2].set(1.0)
+    ref = jnp.where(jnp.abs(out_c[..., 2:3]) > 0.9,
+                    jnp.zeros_like(out_c).at[..., 0].set(1.0), ref)
+    t1 = jnp.cross(out_c, ref)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True).clip(1e-9)
+    t2 = jnp.cross(out_c, t1)
+
+    off = PATCH_RING_FRAC * radius
+    offsets = jnp.stack(
+        [jnp.zeros_like(t1), off * t1, -off * t1, off * t2, -off * t2], axis=-2
+    )  # [N, F, P, 3]
+    pts = tip_pos[..., None, :] + offsets                       # [N, F, P, 3]
+    pts_flat = pts.reshape(pts.shape[:-3] + (F * PATCH_POINTS, 3))
+
+    # pass 2: all patch points
+    d, out_w = query(pts_flat)
+
+    contact_pt = pts_flat - out_w * jnp.minimum(d, radius)[..., None]
     r = contact_pt - plug_com_w[..., None, :]
+    vel = jnp.repeat(tip_vel, PATCH_POINTS, axis=-2)
+    mu = jnp.broadcast_to(mat.mu_finger[..., None], d.shape)
     cs = ContactSet(
         r=r,
         n=-out_w,                       # pad pushes the plug inward along −outward
         depth=radius - d,
-        v_other=tip_vel,
-        mu=jnp.broadcast_to(mat.mu_finger[..., None], d.shape),
+        v_other=vel,
+        mu=mu,
         weight=jnp.ones_like(d),
-        stiffness=jnp.full_like(d, GEL_STIFFNESS),
+        stiffness=jnp.full_like(d, GEL_STIFFNESS / PATCH_POINTS),
     )
-    return cs, FingerContactAux(contact_point=contact_pt, normal=-out_w)
+    aux_pt = contact_pt.reshape(pts.shape)[..., 0, :]  # pad-center contacts
+    return cs, FingerContactAux(contact_point=aux_pt, normal=-out_c)
 
 
 def concat_contacts(*sets: ContactSet) -> ContactSet:

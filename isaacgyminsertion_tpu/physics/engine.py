@@ -252,7 +252,10 @@ def substep(
         params.hole_hx, params.hole_hy, params.socket_height, params.table_height,
         params.contact,
     )
-    cs = concat_contacts(cs_fing, cs_env)  # finger contacts occupy slots [0:3]
+    from .contact import PATCH_POINTS
+
+    n_fc = 3 * PATCH_POINTS
+    cs = concat_contacts(cs_fing, cs_env)  # finger patches occupy slots [0:n_fc]
     # split-impulse: zero-bias velocity solve (no momentum from depenetration),
     # then positional projection. On TPU both phases run as ONE fused Pallas
     # kernel (solver_pallas.py) keeping the contact set in VMEM across all
@@ -273,10 +276,14 @@ def substep(
         w=jnp.clip(res.w, -MAX_ANG_VEL, MAX_ANG_VEL),
     )
 
-    # fingertip reaction (impulse → force): slots 0:3 of the contact set
-    f_on_plug_fing = (cs.n[..., :3, :] * res.lam_n[..., :3, None] + res.lam_t[..., :3, :]) / h
+    # fingertip reaction (impulse → force): patch slots summed per finger
+    f_pts = (cs.n[..., :n_fc, :] * res.lam_n[..., :n_fc, None]
+             + res.lam_t[..., :n_fc, :]) / h
+    f_on_plug_fing = f_pts.reshape(f_pts.shape[:-2] + (3, PATCH_POINTS, 3)).sum(-2)
     tip_force = -f_on_plug_fing                      # force ON the fingertips
-    tip_fn = res.lam_n[..., :3] / h
+    tip_fn = res.lam_n[..., :n_fc].reshape(
+        res.lam_n.shape[:-1] + (3, PATCH_POINTS)
+    ).sum(-1) / h
 
     # ---- integrate plug (velocity step + positional correction)
     com_new = com_w + h * res.v + dx_corr
