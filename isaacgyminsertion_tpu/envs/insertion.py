@@ -293,13 +293,20 @@ def _sample_episode(
         plug_pos = _where(has, pp_gd, plug_pos)
         plug_quat = _where(has, pq_gd, plug_quat)
 
-    # ---- close the hand ONTO the plug: bisect the closure fraction until the
-    # pads indent the gel ~2.5 mm. The reference closes the hand under
-    # simulation (staged close, factory_task_insertion.py:1955-1973); a
-    # teleported fixed closure interpenetrates wide plugs by >1 cm and the gel
-    # springs eject the plug.
-    from ..ops import sdf as sdfm
-    from ..physics.contact import FINGERTIP_RADIUS
+    # ---- close the hand ONTO the plug: per-finger bisection of the closure
+    # fraction until each pad's PREDICTED GEL FORCE (patch spring model, the
+    # same k/PATCH_POINTS·Σdepth the solver will apply) hits a common target.
+    # The reference closes the hand under simulation (staged close,
+    # factory_task_insertion.py:1955-1973); a teleported fixed closure
+    # interpenetrates wide plugs by >1 cm and the gel springs eject the plug.
+    # Equal-FORCE (not equal-depth) closure matters: pad/plug geometry makes
+    # equal indentations carry unequal patch forces, and the unbalanced net
+    # torque slowly rolls the plug out of the grasp.
+    from ..physics.contact import (
+        GEL_STIFFNESS,
+        PATCH_POINTS,
+        fingertip_plug_contacts,
+    )
 
     prox_idx = jnp.asarray([8, 11, 13])
     dist_idx = jnp.asarray([9, 12, 14])
@@ -310,25 +317,30 @@ def _sample_episode(
         qf = q.at[:, prox_idx].set(oh.proximal_open + f * (prox_closed - oh.proximal_open))
         return qf.at[:, dist_idx].set(oh.distal_open + f * (dist_closed - oh.distal_open))
 
-    inv_pq, inv_pt = rot.tf_inverse(plug_quat, plug_pos)
+    com_w = plug_pos + rot.quat_apply(
+        plug_quat,
+        jnp.stack([jnp.zeros((n,)), jnp.zeros((n,)), rows["plug_com_z"]], -1),
+    )
 
-    def pad_depth(qf):
+    def pad_force(qf):
         fkh = forward_kinematics(model, qf)
         _, tips = engine.fingertip_poses(model, fkh)
-        tl = inv_pt[:, None, :] + rot.quat_apply(inv_pq[:, None, :], tips)
-        d = sdfm.plug_sdf(tl, rows["kind_onehot"][:, None, :], rows["plug_hx"][:, None],
-                          rows["plug_hy"][:, None], rows["plug_length"][:, None])
-        return FINGERTIP_RADIUS - d  # per-finger gel indentation [n, 3]
+        cs_f, _ = fingertip_plug_contacts(
+            tips, jnp.zeros_like(tips), plug_quat, plug_pos, com_w,
+            rows["kind_onehot"], rows["plug_hx"], rows["plug_hy"],
+            rows["plug_length"], base_params.contact,
+        )
+        d = jnp.maximum(cs_f.depth, 0.0).reshape(n, 3, PATCH_POINTS)
+        return (GEL_STIFFNESS / PATCH_POINTS) * jnp.sum(d, axis=-1)  # [n, 3] N
 
-    # per-finger bisection so ALL THREE pads land at the same indentation — a
-    # shared closure fraction leaves one pad poking alone, which spins the
-    # plug out of the hand
-    target_depth = 0.0025
+    target_force = 5.0  # N per pad predicted by the patch spring model —
+    # lands the pad centers at ≈2.5 mm indentation (AllSight working range
+    # 0-10 N); the per-finger balance is what matters (see above)
     lo = jnp.zeros((n, 3))
     hi = jnp.ones((n, 3))
-    for _ in range(10):
+    for _ in range(12):
         mid = 0.5 * (lo + hi)
-        too_deep = pad_depth(hand_at(mid)) > target_depth
+        too_deep = pad_force(hand_at(mid)) > target_force
         hi = jnp.where(too_deep, mid, hi)
         lo = jnp.where(too_deep, lo, mid)
     f_touch = 0.5 * (lo + hi)
