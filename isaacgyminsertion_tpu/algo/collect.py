@@ -49,6 +49,17 @@ def collect_teacher_rollouts(
                 socket_quat=env_state.params.socket_quat,
                 eef_pos=eef_t, eef_quat=eef_q,
             )
+            # sensor side arrays for multimodal offline training (reference
+            # stores tactile in per-step side folders + img/seg in the obs
+            # npz, data.py:337-374); newest queue slot, f16 to halve disk
+            if cfg_task.env.tactile:
+                rec["tactile"] = out.tactile[:, 0].astype(jnp.float16)
+            if cfg_task.env.depth_cam:
+                rec["img"] = out.img[:, 0].astype(jnp.float16)
+            if cfg_task.env.seg_cam:
+                rec["seg"] = out.seg[:, 0].astype(jnp.int8)
+            if cfg_task.env.pcl_cam:
+                rec["pcl"] = out.pcl[:, 0].astype(jnp.float16)
             return (env_state, rng), rec
 
         (env_state, rng), recs = jax.lax.scan(body, (env_state, rng), None, length=chunk)

@@ -53,7 +53,11 @@ class PPOConfig:
     kl_threshold: float = 0.02
     # "fixed" (reference default: AdaptiveScheduler present but disabled,
     # frozen_ppo.py:630) | "kl" (AdaptiveScheduler semantics, frozen_ppo.py:
-    # 864-877: kl > 2·thr → lr/1.5, kl < thr/2 → lr·1.5, clamped [1e-6, 1e-2])
+    # 864-877: kl > 2·thr → lr/1.5, kl < thr/2 → lr·1.5, clamped [1e-6, 1e-2]).
+    # Deviation when enabled: the reference updates per optimizer step on the
+    # minibatch KL; here the update is applied once per epoch on the
+    # epoch-mean KL (the fused-epoch design keeps the LR constant in-graph),
+    # so the adaptation reacts one epoch later and with a smoother signal.
     lr_schedule: str = "fixed"
     value_bootstrap: bool = True
     normalize_input: bool = True

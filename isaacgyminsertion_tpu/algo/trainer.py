@@ -177,8 +177,12 @@ def make_student_eval_fn(cfg_task, da_cfg, model, subs, teacher_net, teacher,
 
     student_act = ea.make_student_act(cfg_task, da_cfg, teacher_net, teacher, student)
 
-    def chunk_fn(student_params, stud_obs_rms, pcl_rms, env_state):
-        def body(env_state, _):
+    def chunk_fn(student_params, stud_obs_rms, pcl_rms, env_state, alive, ever):
+        # first-episode success only: once an env resets (for any reason) it
+        # stops counting, so auto-resetting episodes in the window don't
+        # inflate the rate (agent.test() per-episode parity)
+        def body(carry, _):
+            env_state, alive, ever = carry
             da_like = ea.DAggerState(
                 student_params=None, opt_state=None, stud_obs_rms=stud_obs_rms,
                 pcl_rms=pcl_rms, env_state=env_state, rng=jnp.zeros((2,), jnp.uint32),
@@ -188,22 +192,27 @@ def make_student_eval_fn(cfg_task, da_cfg, model, subs, teacher_net, teacher,
             acts, _ = student_act(student_params, da_like,
                                   env_state.obs_stud_queue, prev_out)
             env_state, out = insertion.step(cfg_task, model, subs, env_state, acts)
-            return env_state, out.extras["successes"]
+            ever = jnp.maximum(ever, out.extras["successes"] * alive)
+            alive = alive * (1.0 - out.reset.astype(jnp.float32))
+            return (env_state, alive, ever), None
 
-        env_state, succ = jax.lax.scan(body, env_state, None, length=chunk)
-        return env_state, succ
+        (env_state, alive, ever), _ = jax.lax.scan(
+            body, (env_state, alive, ever), None, length=chunk)
+        return env_state, alive, ever
 
     chunk_jit = jax.jit(chunk_fn)
 
     def evaluate(student_params, stud_obs_rms, pcl_rms, rng):
         env_state = insertion.reset_all(cfg_task, model, subs, rng, n_envs)
         ever_success = jnp.zeros((n_envs,))
+        alive = jnp.ones((n_envs,))
         steps = cfg_task.rl.max_episode_length
-        for _ in range(max(steps // chunk, 1)):
-            env_state, succ = chunk_jit(student_params, stud_obs_rms, pcl_rms, env_state)
-            ever_success = jnp.maximum(ever_success, jnp.max(succ, axis=0))
-            ever_success = jnp.maximum(ever_success,
-                                       env_state.success_reset_buf.astype(jnp.float32))
+        for _ in range(max(-(-steps // chunk), 1)):  # ceil: cover all steps
+            env_state, alive, ever_success = chunk_jit(
+                student_params, stud_obs_rms, pcl_rms, env_state, alive, ever_success)
+        # an episode still running at the horizon counts its current success
+        ever_success = jnp.maximum(
+            ever_success, env_state.success_reset_buf.astype(jnp.float32) * alive)
         return float(jnp.mean(ever_success))
 
     return evaluate

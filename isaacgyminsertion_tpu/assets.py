@@ -124,6 +124,10 @@ class SubassemblySet(NamedTuple):
     hole_hy: np.ndarray
     socket_height: np.ndarray
     friction: np.ndarray
+    # yaml `scale` column: the reference applies it to the plug mesh in the
+    # tactile gel scene (factory_env_insertion.py:1045-1052 → AllSightRenderer
+    # scale=fix_scale); the sim actor itself is loaded unscaled.
+    plug_scale: np.ndarray     # [n_sub]
     surface_points: np.ndarray  # [n_sub, P, 3] plug-frame contact sample points
     surface_weights: np.ndarray  # [n_sub, P] contact pressure-prior weights
     # dense surface samples for pcl / extrinsic-contact GT ([n_sub, P2, 3])
@@ -271,7 +275,6 @@ def build_subassembly_set(names=None) -> SubassemblySet:
     dense = []
     for i, r in enumerate(rows):
         kind_onehot[i, r.kind] = 1.0
-        sc = r.plug_scale  # reference applies URDF scale to plug only
         hx, hy, L = r.plug_hx, r.plug_hy, r.plug_length
         area, ix, iy = _section_area_and_gyration(r.kind, hx, hy)
         m = r.plug_density * area * L
@@ -285,7 +288,6 @@ def build_subassembly_set(names=None) -> SubassemblySet:
         surf.append(sp)
         surf_w.append(sw)
         dense.append(sample_plug_dense(r.kind, hx, hy, L))
-        del sc
     return SubassemblySet(
         names=names,
         kind_onehot=kind_onehot,
@@ -299,6 +301,7 @@ def build_subassembly_set(names=None) -> SubassemblySet:
         hole_hy=np.array([r.hole_hy for r in rows], np.float32),
         socket_height=np.array([r.socket_height for r in rows], np.float32),
         friction=np.array([r.friction for r in rows], np.float32),
+        plug_scale=np.array([r.plug_scale for r in rows], np.float32),
         surface_points=np.stack(surf).astype(np.float32),
         surface_weights=np.stack(surf_w).astype(np.float32),
         dense_points=np.stack(dense).astype(np.float32),

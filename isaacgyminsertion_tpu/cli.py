@@ -29,16 +29,77 @@ _KEYMAP = {
     "task.external_cam.seg_cam": ("task", "env.seg_cam"),
     "task.external_cam.pcl_cam": ("task", "env.pcl_cam"),
     "task.env.compute_contact_gt": ("task", "env.compute_contact_gt"),
-    "task.env.numObsHist": ("task", "env.num_obs_hist"),
     "task.randomize.domain_randomize": ("task", "randomize.domain_randomize"),
     "task.grasp_at_init": ("task", "grasp_at_init"),
     "task.reset_at_success": ("task", "reset_at_success"),
     "task.reset_at_fails": ("task", "reset_at_fails"),
+    "task.rand_inits": ("task", "rand_inits"),
+    # ctrl block (reference ctrl.ctrl_type selects among the 8 modes)
+    "task.ctrl.ctrl_type": ("task", "ctrl_type"),
+    "ctrl_type": ("task", "ctrl_type"),
+    # env block camelCase names (FactoryTaskInsertionTactile.yaml:35-115)
+    "task.env.numObservations": ("task", "env.num_observations"),
+    "task.env.numObsStudent": ("task", "env.num_obs_student"),
+    "task.env.numStates": ("task", "env.num_states"),
+    "task.env.numActions": ("task", "env.num_actions"),
+    "task.env.numObsHist": ("task", "env.num_obs_hist"),
+    "task.env.numObsStudentHist": ("task", "env.num_obs_stud_hist"),
+    "task.env.img_history_len": ("task", "env.img_history_len"),
+    "task.env.tactile_history_len": ("task", "env.tactile_history_len"),
+    "task.env.ft_history_len": ("task", "env.ft_history_len"),
+    "task.env.smooth_force": ("task", "env.smooth_force"),
+    "task.env.action_latency_max": ("task", "env.action_latency_max"),
+    "task.env.actionLatencyMax": ("task", "env.action_latency_cur_max"),
+    "task.env.actionLatencyScheduledSteps": ("task", "env.action_latency_scheduled_steps"),
+    "task.env.actionDelayProbMax": ("task", "env.action_delay_prob_max"),
+    "task.env.actionsMovingAverage.range": ("task", "env.actions_moving_average_range"),
+    "task.env.actionsMovingAverage.schedule_steps": ("task", "env.actions_moving_average_schedule_steps"),
+    "task.env.actionsMovingAverage.schedule_freq": ("task", "env.actions_moving_average_schedule_freq"),
+    "task.env.plugObsDelayProb": ("task", "env.plug_obs_delay_prob"),
+    "task.env.ImgDelayProb": ("task", "env.img_delay_prob"),
+    "task.env.PclProbNoise": ("task", "env.pcl_prob_noise"),
+    "task.env.SegDelayProb": ("task", "env.seg_delay_prob"),
+    "task.env.SegProbNoise": ("task", "env.seg_prob_noise"),
+    "task.env.TactileDelayProb": ("task", "env.tactile_delay_prob"),
+    "task.env.scalePosProb": ("task", "env.scale_pos_prob"),
+    "task.env.scaleRotProb": ("task", "env.scale_rot_prob"),
+    "task.env.maxObjectSkipObs": ("task", "env.max_object_skip_obs"),
+    "task.env.maxSkipImg": ("task", "env.max_skip_img"),
+    "task.env.maxSkipTactile": ("task", "env.max_skip_tactile"),
+    # randomization_params (envs/dr.py NoiseSpec fields)
+    "task.randomize.randomization_params.frequency": ("task", "randomize.frequency"),
+    "task.randomize.randomization_params.observations.range": ("task", "randomize.observations.range"),
+    "task.randomize.randomization_params.observations.range_correlated": ("task", "randomize.observations.range_correlated"),
+    "task.randomize.randomization_params.observations.schedule": ("task", "randomize.observations.schedule"),
+    "task.randomize.randomization_params.observations.schedule_steps": ("task", "randomize.observations.schedule_steps"),
+    "task.randomize.randomization_params.actions.range": ("task", "randomize.actions.range"),
+    "task.randomize.randomization_params.actions.range_correlated": ("task", "randomize.actions.range_correlated"),
+    "task.randomize.randomization_params.actions.schedule": ("task", "randomize.actions.schedule"),
+    "task.randomize.randomization_params.actions.schedule_steps": ("task", "randomize.actions.schedule_steps"),
+    "task.randomize.randomization_params.sim_params.gravity.range": ("task", "randomize.gravity.range"),
+    # sim block
+    "task.sim.disable_gravity": ("task", "sim.disable_gravity"),
+    "task.sim.dt": ("task", "sim.dt"),
+    "task.sim.substeps": ("task", "sim.substeps"),
+    # train block
     "train.ppo.horizon_length": ("ppo", "horizon"),
     "train.ppo.mini_epochs": ("ppo", "mini_epochs"),
     "train.ppo.learning_rate": ("ppo", "learning_rate"),
     "train.ppo.gamma": ("ppo", "gamma"),
     "train.ppo.tau": ("ppo", "tau"),
+    "train.ppo.e_clip": ("ppo", "e_clip"),
+    "train.ppo.critic_coef": ("ppo", "critic_coef"),
+    "train.ppo.entropy_coef": ("ppo", "entropy_coef"),
+    "train.ppo.bounds_loss_coef": ("ppo", "bounds_loss_coef"),
+    "train.ppo.grad_norm": ("ppo", "grad_norm"),
+    "train.ppo.truncate_grads": ("ppo", "grad_norm"),  # accepted alias
+    "train.ppo.kl_threshold": ("ppo", "kl_threshold"),
+    "train.ppo.lr_schedule": ("ppo", "lr_schedule"),
+    "train.ppo.value_bootstrap": ("ppo", "value_bootstrap"),
+    "train.ppo.normalize_input": ("ppo", "normalize_input"),
+    "train.ppo.normalize_value": ("ppo", "normalize_value"),
+    "train.ppo.normalize_advantage": ("ppo", "normalize_advantage"),
+    "train.ppo.clip_value": ("ppo", "clip_value"),
     "train.ppo.max_agent_steps": ("ppo", "max_agent_steps"),
     "train.ppo.tactile_info": ("dagger", "use_tactile"),
     "train.ppo.img_info": ("dagger", "use_img"),
@@ -46,12 +107,16 @@ _KEYMAP = {
     "train.ppo.pcl_info": ("dagger", "use_pcl"),
     "train.ppo.obs_info": ("dagger", "use_obs"),
     "train.ppo.only_bc": ("dagger", "only_bc"),
+    "train.ppo.latent_loss_coef": ("dagger", "latent_loss_coef"),
+    "train.ppo.action_z_weight": ("dagger", "action_z_weight"),
 }
 
 
 def _parse_value(v: str) -> Any:
     if v.lower() in ("true", "false"):
         return v.lower() == "true"
+    if v.lower() in ("null", "none"):
+        return None
     for cast in (int, float):
         try:
             return cast(v)

@@ -17,7 +17,23 @@ from contextlib import contextmanager
 
 import numpy as np
 
-NORM_KEYS = ("student_obs", "obs", "eef_pos", "plug_pos", "socket_pos")
+NORM_KEYS = ("student_obs", "obs", "eef_pos", "plug_pos", "socket_pos", "pcl")
+
+
+def split_trajectory_files(data_dir: str, val_fraction: float,
+                           seed: int = 0) -> tuple[list[str], list[str]]:
+    """Honest held-out split BY TRAJECTORY (before any sub-sequence batching),
+    so validation loss is measured on trajectories the model never trained on
+    (the reference draws "val" batches from the same shuffled pool —
+    runner.py:470-572 — which this consciously fixes)."""
+    files = list_trajectory_files(data_dir)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(files))
+    n_val = max(int(round(val_fraction * len(files))), 1) if len(files) > 1 else 0
+    val_idx = set(order[:n_val].tolist())
+    train = [f for i, f in enumerate(files) if i not in val_idx]
+    val = [f for i, f in enumerate(files) if i in val_idx]
+    return train, val
 
 
 def list_trajectory_files(data_dir: str) -> list[str]:
@@ -97,19 +113,28 @@ class TrajectoryDataset:
 
     def __init__(self, data_dir: str, seq_len: int = 1,
                  keys=("student_obs", "actions", "latent"),
-                 normalizer: DataNormalizer | None = None):
-        self.files = list_trajectory_files(data_dir)
+                 normalizer: DataNormalizer | None = None,
+                 files: list[str] | None = None,
+                 tactile_diff: bool = False):
+        self.files = files if files is not None else list_trajectory_files(data_dir)
         if not self.files:
             raise FileNotFoundError(f"no trajectories in {data_dir}")
         self.seq_len = seq_len
         self.keys = keys
         self.normalizer = normalizer
+        # tactile frames differenced against the trajectory's frame 1
+        # (reference _load_and_preprocess_tactile, data.py:337-347)
+        self.tactile_diff = tactile_diff
         self._trajs = []
         self._index: list[tuple[int, int]] = []
         for fi, path in enumerate(self.files):
             with open_traj(path) as d:
                 traj = {k: np.asarray(d[k]) for k in keys if k in d}
                 done_idx = int(d["done_idx"]) if "done_idx" in d else len(next(iter(traj.values()))) - 1
+            if tactile_diff and "tactile" in traj:
+                ref = traj["tactile"][min(1, len(traj["tactile"]) - 1)]
+                traj["tactile"] = (traj["tactile"].astype(np.float32)
+                                   - ref.astype(np.float32))
             self._trajs.append(traj)
             for t in range(max(done_idx - seq_len + 1, 1)):  # stride 1 (data.py:318-329)
                 self._index.append((fi, t))

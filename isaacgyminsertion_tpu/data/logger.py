@@ -143,10 +143,23 @@ class DataLoggerReal:
             self.flush()
 
     def flush(self):
+        import warnings
+
         traj, self.buffer = self.buffer, []
         if len(traj) < 2:
+            if traj:
+                warnings.warn(
+                    f"DataLoggerReal: discarding {len(traj)}-step trajectory "
+                    "(< 2 steps)", stacklevel=2)
             return
         keys = set(traj[0]).intersection(*[set(s) for s in traj])
+        dropped = set().union(*[set(s) for s in traj]) - keys
+        if dropped:
+            # a modality missing on any single step drops it for the whole
+            # trajectory — make hardware recording gaps visible
+            warnings.warn(
+                f"DataLoggerReal: keys {sorted(dropped)} missing on some steps; "
+                "dropped from the whole trajectory", stacklevel=2)
         data = {k: np.stack([s[k] for s in traj]) for k in keys}
         data["done_idx"] = np.asarray(len(traj) - 1)
         self.writer.submit(data)

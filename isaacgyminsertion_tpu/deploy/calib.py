@@ -56,9 +56,11 @@ def calibrate_deploy_scales(
     the recorded sim trail (hyper_param_tune objective, calib.py:208-266).
 
     Returns (best params dict with pos_scale_{x,y,z} / rot_scale_{r,p,y},
-    best loss in meters, history)."""
-    rng = np.random.default_rng(seed)
+    best loss in meters, history).
 
+    Every candidate is scored on the mean error over ALL loaded trajectories
+    (not one sampled per trial) so the optimizer compares scales on the same
+    objective instead of conflating scale quality with trajectory difficulty."""
     space = {
         "pos_scale_x": Uniform(*pos_range), "pos_scale_y": Uniform(*pos_range),
         "pos_scale_z": Uniform(*pos_range), "rot_scale_r": Uniform(*rot_range),
@@ -66,17 +68,19 @@ def calibrate_deploy_scales(
     }
 
     def objective(params: dict) -> float:
-        traj = sim_trajectories[int(rng.integers(len(sim_trajectories)))]
-        T = min(max_steps, len(traj["actions"]))
-        trail = replay_trajectory(
-            hw, traj["actions"][:T],
-            [params["pos_scale_x"], params["pos_scale_y"], params["pos_scale_z"]],
-            [params["rot_scale_r"], params["rot_scale_p"], params["rot_scale_y"]],
-        )
-        ref = traj["eef_pos"][:T]
-        # compare displacement trails from the (different) start poses
-        d = (trail - trail[0]) - (ref - ref[0])
-        return float(np.mean(np.linalg.norm(d, axis=-1)))
+        errs = []
+        for traj in sim_trajectories:
+            T = min(max_steps, len(traj["actions"]))
+            trail = replay_trajectory(
+                hw, traj["actions"][:T],
+                [params["pos_scale_x"], params["pos_scale_y"], params["pos_scale_z"]],
+                [params["rot_scale_r"], params["rot_scale_p"], params["rot_scale_y"]],
+            )
+            ref = traj["eef_pos"][:T]
+            # compare displacement trails from the (different) start poses
+            d = (trail - trail[0]) - (ref - ref[0])
+            errs.append(float(np.mean(np.linalg.norm(d, axis=-1))))
+        return float(np.mean(errs))
 
     best, history = tpe_minimize(objective, space, n_trials=n_trials, seed=seed)
     return best, min(loss for _, loss in history), history

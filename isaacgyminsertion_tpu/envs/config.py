@@ -10,12 +10,15 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass, field
 
+from .dr import NoiseSpec
+
 
 @dataclass(frozen=True)
 class SimConfig:
     # FactoryBaseTactile.yaml sim block
     dt: float = 1.0 / 60.0
-    substeps: int = 3          # + 16 Jacobi solver iters (parity: PhysX substeps 3, TGS 16)
+    substeps: int = 3          # + solver_iters Jacobi iters (parity: PhysX substeps 3, TGS 16)
+    solver_iters: int = 16     # Jacobi velocity-solver iterations per substep
     gravity: float = -9.81
     disable_gravity: bool = True   # FactoryTaskInsertionTactile.yaml sim.disable_gravity
     table_height: float = 0.001
@@ -103,9 +106,17 @@ class RandomizeConfig:
     # randomize block
     domain_randomize: bool = True
     force_scale: float = 0.0
-    obs_noise: float = 0.002          # randomization_params.observations.range[1]
-    action_noise: float = 0.02        # randomization_params.actions.range[1]
-    action_noise_correlated: float = 0.01
+    # randomization_params entries (envs/dr.py engine; vec_task.py:664-748
+    # parity: white + correlated components, linear/constant schedules).
+    # Defaults = FactoryEnvInsertionTactile.yaml randomize block.
+    observations: "NoiseSpec" = field(
+        default_factory=lambda: NoiseSpec(range=(0.0, 0.002)))
+    actions: "NoiseSpec" = field(
+        default_factory=lambda: NoiseSpec(range=(0.0, 0.02),
+                                          range_correlated=(0.0, 0.01)))
+    gravity: "NoiseSpec" = field(
+        default_factory=lambda: NoiseSpec(range=(0.0, 0.4)))
+    frequency: int = 499              # randomization window (steps); 499 ⇒ every episode
     plug_mass_scale: tuple = (0.5, 1.1)
     plug_friction_scale: tuple = (0.9, 1.3)
     socket_friction_scale: tuple = (0.3, 0.9)

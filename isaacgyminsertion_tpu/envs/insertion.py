@@ -40,6 +40,7 @@ from ..sensors import camera as cam_mod
 from ..sensors import contact_gt as cgt_mod
 from ..sensors import pcl as pcl_mod
 from ..sensors import tactile as tact_mod
+from . import dr as dr_mod
 from .config import TaskConfig
 
 ACTION_QUEUE_LEN = 16  # action_latency_max 15 + current (FactoryTaskInsertionTactile.yaml:61)
@@ -58,6 +59,7 @@ class EnvState(NamedTuple):
     # action pipeline
     actions: jax.Array             # [N, 6] current policy actions
     prev_actions: jax.Array        # [N, 6]
+    applied_actions: jax.Array     # [N, 6] EMA-smoothed applied actions
     actions_queue: jax.Array       # [N, Q, 6] newest at index 0
     action_latency: jax.Array      # [N] i32
     targets: jax.Array             # [N, 6] accumulated pose targets (logging parity)
@@ -75,6 +77,10 @@ class EnvState(NamedTuple):
     plug_hand_pos_init: jax.Array  # [N, 3]
     plug_hand_quat_init: jax.Array # [N, 4]
     plug_pos_init: jax.Array       # [N, 3] (degrasp reference)
+    # raw correlated DR noise samples, held per randomization window
+    # (refreshed by the reset path; envs/dr.py)
+    obs_noise_corr: jax.Array      # [N, obs_dim]
+    act_noise_corr: jax.Array      # [N, 6]
     finger_forces_ema: jax.Array   # [N, 3] normalized fingertip force EMA
     rb_force: jax.Array            # [N, 3] decaying random plug force (Dactyl DR)
     # termination
@@ -190,6 +196,7 @@ def _gather_shape_rows(subs: SubassemblySet, sub_idx: jax.Array) -> dict:
         plug_hx=g(subs.plug_hx),
         plug_hy=g(subs.plug_hy),
         plug_length=g(subs.plug_length),
+        plug_scale=g(subs.plug_scale),
         hole_hx=g(subs.hole_hx),
         hole_hy=g(subs.hole_hy),
         socket_height=g(subs.socket_height),
@@ -211,8 +218,11 @@ def _sample_episode(
     sub_idx: jax.Array,
     base_params: PhysicsParams,
     grasp_data=None,
+    global_step: jax.Array | None = None,
 ) -> tuple[PhysicsState, PhysicsParams, dict]:
     """Sample fresh episode state for ALL envs (callers mask into the batch)."""
+    if global_step is None:
+        global_step = jnp.zeros((), jnp.int32)
     rz = cfg.randomize
     keys = jax.random.split(key, 13)
     rows = _gather_shape_rows(subs, sub_idx)
@@ -370,6 +380,16 @@ def _sample_episode(
     )
 
     gravity = jnp.full((n,), 0.0 if cfg.sim.disable_gravity else cfg.sim.gravity, jnp.float32)
+    if cfg.randomize.domain_randomize:
+        # sim_params.gravity DR (vec_task.py:736-748: additive gaussian 0.4),
+        # refreshed once per randomization window = per episode here
+        kg = jax.random.fold_in(keys[10], 3)
+        gravity = dr_mod.apply_noise(
+            cfg.randomize.gravity, kg,
+            dr_mod.sample_correlated(cfg.randomize.gravity,
+                                     jax.random.fold_in(kg, 1), (n,)),
+            gravity, global_step,
+        )
 
     params = base_params._replace(
         kind_onehot=rows["kind_onehot"],
@@ -378,7 +398,11 @@ def _sample_episode(
         plug_length=rows["plug_length"],
         hole_hx=rows["hole_hx"] * sock_scale,
         hole_hy=rows["hole_hy"] * sock_scale,
-        socket_height=rows["socket_height"],
+        # the reference's setup-only socket-scale DR scales the whole actor,
+        # including its height (FactoryEnvInsertionTactile.yaml socket.scale)
+        socket_height=rows["socket_height"] * sock_scale,
+        plug_scale=rows["plug_scale"],
+        socket_scale=sock_scale,
         surface_points=rows["surface_points"],
         surface_weights=rows["surface_weights"],
         plug_mass=rows["plug_mass"] * mass_scale,
@@ -470,6 +494,7 @@ def reset_all(
         global_step=jnp.zeros((), jnp.int32),
         actions=jnp.zeros((n, 6), jnp.float32),
         prev_actions=jnp.zeros((n, 6), jnp.float32),
+        applied_actions=jnp.zeros((n, 6), jnp.float32),
         actions_queue=jnp.zeros((n, ACTION_QUEUE_LEN, 6), jnp.float32),
         action_latency=jax.random.randint(k_lat, (n,), 0, 2),
         targets=jnp.zeros((n, 6), jnp.float32),
@@ -485,6 +510,11 @@ def reset_all(
         plug_hand_pos_init=ph_pos,
         plug_hand_quat_init=ph_quat,
         plug_pos_init=phys.plug_pos,
+        obs_noise_corr=dr_mod.sample_correlated(
+            cfg.randomize.observations, jax.random.fold_in(k_state, 1),
+            (n, cfg.env.num_observations)),
+        act_noise_corr=dr_mod.sample_correlated(
+            cfg.randomize.actions, jax.random.fold_in(k_state, 2), (n, 6)),
         finger_forces_ema=jnp.zeros((n, 3), jnp.float32),
         rb_force=jnp.zeros((n, 3), jnp.float32),
         reset_buf=jnp.zeros((n,), bool),
@@ -518,7 +548,8 @@ def _reset_idx(cfg, model, subs, state: EnvState, mask: jax.Array, key: jax.Arra
     new_sub = state.sub_idx if same else jax.random.randint(k_sub, (n,), 0, n_sub)
     sub_idx = jnp.where(mask, new_sub, state.sub_idx)
     phys_new, params_new, _aux = _sample_episode(cfg, model, subs, k_ep, n, sub_idx, state.params,
-                                                 grasp_data=grasp_data)
+                                                 grasp_data=grasp_data,
+                                                 global_step=state.global_step)
 
     phys = _masked_tree(mask, phys_new, state.phys)
     params = _masked_tree(mask, params_new, state.params)
@@ -546,6 +577,19 @@ def _reset_idx(cfg, model, subs, state: EnvState, mask: jax.Array, key: jax.Arra
         progress=jnp.where(mask, 0, state.progress),
         actions=_where(mask, zero6, state.actions),
         prev_actions=_where(mask, zero6, state.prev_actions),
+        applied_actions=_where(mask, zero6, state.applied_actions),
+        # correlated-DR window refresh (frequency 499 ≈ every episode)
+        obs_noise_corr=_where(
+            mask,
+            dr_mod.sample_correlated(cfg.randomize.observations,
+                                     jax.random.fold_in(k_rate, 11),
+                                     (n, cfg.env.num_observations)),
+            state.obs_noise_corr),
+        act_noise_corr=_where(
+            mask,
+            dr_mod.sample_correlated(cfg.randomize.actions,
+                                     jax.random.fold_in(k_rate, 12), (n, 6)),
+            state.act_noise_corr),
         actions_queue=_where(mask, jnp.zeros_like(state.actions_queue), state.actions_queue),
         action_latency=jnp.where(mask, lat, state.action_latency),
         targets=_where(mask, zero6, state.targets),
@@ -633,8 +677,8 @@ def _physics_params_vec(cfg, state: EnvState) -> jax.Array:
             p.socket_height,        # socket_heights
             2.0 * p.hole_hy,        # socket_depths
             2.0 * p.hole_hx,        # socket_widths
-            jnp.ones_like(p.plug_mass),  # plug_scale (folded into dims)
-            jnp.ones_like(p.plug_mass),  # socket_scale
+            p.plug_scale,           # plug_scale (asset-yaml scale)
+            p.socket_scale,         # socket_scale (setup DR sample)
         ],
         axis=-1,
     )
@@ -697,10 +741,12 @@ def step(
         state,
     )
 
-    # action DR noise (randomization_params.actions: additive gaussian 0.02)
+    # action DR noise (randomization_params.actions: additive gaussian 0.02
+    # white + 0.01 correlated held per randomization window, vec_task.py:375)
     actions = jnp.clip(policy_actions, -1.0, 1.0)
     if cfg.randomize.domain_randomize:
-        actions = actions + cfg.randomize.action_noise * jax.random.normal(k_act_noise, actions.shape)
+        actions = dr_mod.apply_noise(cfg.randomize.actions, k_act_noise,
+                                     state.act_noise_corr, actions, state.global_step)
     prev_actions = state.actions
     # latency queue: newest at slot 0 (factory_task_insertion.py:602-626)
     queue = jnp.concatenate([actions[:, None], state.actions_queue[:, :-1]], axis=1)
@@ -708,6 +754,20 @@ def step(
     delayed = jnp.take_along_axis(queue, lat[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     delay_mask = jax.random.uniform(k_lat_delay, (n, 1)) > cfg.env.action_delay_prob_max
     actions_applied = jnp.where(delay_mask, delayed, prev_actions)
+
+    # action moving-average schedule (factory_task_insertion.py:585-600):
+    # the scalar anneals upper → lower over schedule_steps, refreshed every
+    # schedule_freq global steps. NOTE the reference computes and logs this
+    # scalar but never blends with it (update_action_moving_average's output
+    # is only written to extras); we apply the DeXtreme-style smoothing the
+    # schedule exists for: a_t = ema·a_cmd + (1−ema)·a_{t−1,applied}.
+    ma_lo, ma_up = cfg.env.actions_moving_average_range
+    ma_steps = max(cfg.env.actions_moving_average_schedule_steps, 1)
+    ma_freq = max(cfg.env.actions_moving_average_schedule_freq, 1)
+    quant = (state.global_step // ma_freq) * ma_freq
+    ma_frac = jnp.minimum(quant, ma_steps).astype(jnp.float32) / float(ma_steps)
+    act_ma = ma_up + (ma_lo - ma_up) * ma_frac
+    actions_applied = act_ma * actions_applied + (1.0 - act_ma) * state.applied_actions
 
     # action scale DR (scale_noise_pos/rot, _apply_actions_as_ctrl_targets)
     pos_scale = jnp.asarray(cfg.rl.pos_action_scale)
@@ -787,6 +847,7 @@ def step(
     phys = engine.step(
         model, state.params, state.phys, ctrl, dt=cfg.sim.dt, n_substeps=cfg.sim.substeps,
         smooth_force=0.9 if cfg.env.smooth_force else 0.0,
+        solver_iters=cfg.sim.solver_iters,
     )
 
     # ---------------- post-physics: derived tensors (_refresh_task_tensors)
@@ -812,10 +873,15 @@ def step(
         t_upd = t_refresh & (jax.random.uniform(kt1, (n,)) > cfg.env.tactile_delay_prob)
         tip_q3, tip_t3 = engine.fingertip_poses(model, fk2)
         tcfg = tact_mod.TactileConfig()
+        # the gel-scene plug is scaled by the asset-yaml scale column, as in
+        # the reference's AllSightRenderer(scale=fix_scale)
+        # (factory_env_insertion.py:1045-1052)
+        psc = state.params.plug_scale
         timg = tact_mod.render_tactile(
             tcfg, tip_q3, tip_t3, phys.plug_quat, phys.plug_pos,
-            state.params.kind_onehot, state.params.plug_hx, state.params.plug_hy,
-            state.params.plug_length, finger_forces_ema, noise_key=kt2,
+            state.params.kind_onehot, state.params.plug_hx * psc,
+            state.params.plug_hy * psc,
+            state.params.plug_length * psc, finger_forces_ema, noise_key=kt2,
             noise_std=0.01,
         )
         latest = _where(t_upd, timg, state.tactile_queue[:, 0])
@@ -825,12 +891,18 @@ def step(
     if cfg.env.external_cam:
         ki1, ki2, ki3, ki4 = jax.random.split(k_img, 4)
         ccfg = cam_mod.CameraConfig()
+        # the descending hand occludes the scene in the reference's depth/seg
+        # frames (kuka actor seg id 1, factory_env_insertion.py:814-848):
+        # proxy it as 3 fingertip spheres + a wrist→hand capsule
+        cam_tips = engine.fingertip_poses(model, fk2)[1]
+        cam_wrist = fk2.body_t[..., 6, :]
         depth_n, seg_im, depth_raw = cam_mod.render_depth_seg(
             ccfg, phys.plug_quat, phys.plug_pos, state.params.socket_quat,
             state.params.socket_pos, state.params.kind_onehot, state.params.plug_hx,
             state.params.plug_hy, state.params.plug_length, state.params.hole_hx,
             state.params.hole_hy, state.params.socket_height, state.params.table_height,
             noise_key=ki1,
+            tip_pos=cam_tips, wrist_pos=cam_wrist, hand_pos=ftc_t2,
         )
         i_refresh = ((frame + state.img_refresh_offset) % state.img_refresh_rate) == 0
         initial = progress < 10
@@ -899,7 +971,8 @@ def step(
     eef_pos_rb, eef_quat_rb = world_to_robot_base(ftc_t2, ftc_q2)
     obs = jnp.concatenate([eef_pos_rb, rot.quat_to_rot6d(eef_quat_rb), actions], axis=-1)
     if cfg.randomize.domain_randomize:
-        obs = obs + cfg.randomize.obs_noise * jax.random.normal(k_obs_noise, obs.shape)
+        obs = dr_mod.apply_noise(cfg.randomize.observations, k_obs_noise,
+                                 state.obs_noise_corr, obs, state.global_step)
     no = cfg.env.num_observations
     obs_queue = jnp.concatenate([state.obs_queue[:, no:], obs], axis=-1)
     obs_stud_queue = jnp.concatenate([state.obs_stud_queue[:, no:], obs], axis=-1)
@@ -962,6 +1035,8 @@ def step(
         "ori_reward": rew_terms["ori"],
         "degrasp": degrasp.astype(jnp.float32),
         "ep_reward": ep_reward,
+        # annealing telemetry (reference extras['annealing/...'])
+        "action_moving_average_scalar": jnp.broadcast_to(act_ma, (n,)),
     }
 
     new_state = state._replace(
@@ -972,6 +1047,7 @@ def step(
         global_step=state.global_step + 1,
         actions=actions,
         prev_actions=prev_actions,
+        applied_actions=actions_applied,
         actions_queue=queue,
         targets=state.targets + jnp.concatenate([pos_actions, rot_actions], -1),
         obs_queue=obs_queue,

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import rotations as rot
 from ..ops import sdf as sdfm
@@ -183,10 +184,18 @@ def fingertip_plug_contacts(
     r = contact_pt - plug_com_w[..., None, :]
     vel = jnp.repeat(tip_vel, PATCH_POINTS, axis=-2)
     mu = jnp.broadcast_to(mat.mu_finger[..., None], d.shape)
+    # ring points sit off-axis on the spherical pad: the gel only extends
+    # sqrt(R² − off²) there, so their indentation depth uses the reduced
+    # effective radius (full R would overestimate edge forces on plugs with
+    # curvature comparable to the pad radius)
+    ring_r = radius * float(np.sqrt(1.0 - PATCH_RING_FRAC**2))
+    radius_pt = jnp.tile(
+        jnp.asarray([radius] + [ring_r] * (PATCH_POINTS - 1), d.dtype), F
+    )
     cs = ContactSet(
         r=r,
         n=-out_w,                       # pad pushes the plug inward along −outward
-        depth=radius - d,
+        depth=radius_pt - d,
         v_other=vel,
         mu=mu,
         weight=jnp.ones_like(d),

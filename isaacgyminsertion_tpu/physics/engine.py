@@ -87,6 +87,12 @@ class PhysicsParams(NamedTuple):
     plug_com_z: jax.Array      # [N]
     socket_pos: jax.Array      # [N, 3]
     socket_quat: jax.Array     # [N, 4]
+    # scales reported in the priv state (reference get_actor_scale +
+    # randomisation_callback, factory_task_insertion.py:1399-1409):
+    # plug_scale = asset-yaml scale (drives the tactile gel-scene plug size),
+    # socket_scale = setup-only DR sample already folded into hole_hx/hy/height
+    plug_scale: jax.Array      # [N]
+    socket_scale: jax.Array    # [N]
     table_height: jax.Array    # [N]
     gravity: jax.Array         # [N] z acceleration on the plug (0: disabled)
     kp: jax.Array              # [N, 15]
@@ -137,6 +143,8 @@ def make_params(
         plug_com_z=g(sub_set.plug_com_z),
         socket_pos=jnp.tile(jnp.asarray([0.5, 0.0, 0.001], dtype), (n_envs, 1)),
         socket_quat=jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype), (n_envs, 1)),
+        plug_scale=g(sub_set.plug_scale),
+        socket_scale=jnp.ones((n_envs,), dtype),
         table_height=jnp.full((n_envs,), 0.001, dtype),
         gravity=jnp.full((n_envs,), gravity, dtype),
         kp=kp,
@@ -200,6 +208,7 @@ def substep(
     state: PhysicsState,
     ctrl: ControlInput,
     h: float,
+    solver_iters: int = SOLVER_ITERS,
 ) -> PhysicsState:
     """One physics substep (vectorized over the env batch)."""
     from .dynamics import fk_jacobians_with_tangents
@@ -264,12 +273,12 @@ def substep(
         from .solver_pallas import solve_contacts_fused
 
         fused = solve_contacts_fused(params.plug_mass, I_inv_w, v_free, w_free,
-                                     cs, h, iters=SOLVER_ITERS)
+                                     cs, h, iters=solver_iters)
         res = fused
         dx_corr, dth_corr = fused.dx, fused.dth
     else:
         res = solve_contacts(params.plug_mass, I_inv_w, v_free, w_free, cs, h,
-                             iters=SOLVER_ITERS, beta=0.0)
+                             iters=solver_iters, beta=0.0)
         dx_corr, dth_corr = position_correction(params.plug_mass, I_inv_w, cs)
     res = res._replace(
         v=jnp.clip(res.v, -MAX_LIN_VEL, MAX_LIN_VEL),
@@ -328,6 +337,7 @@ def step(
     dt: float = 1.0 / 60.0,
     n_substeps: int = 3,
     smooth_force: float = 0.9,
+    solver_iters: int = SOLVER_ITERS,
 ) -> PhysicsState:
     """Advance one control step = `n_substeps` physics substeps (lax.scan).
 
@@ -338,7 +348,7 @@ def step(
 
     def body(carry, _):
         st, tipf = carry
-        new = substep(model, params, st, ctrl, h)
+        new = substep(model, params, st, ctrl, h, solver_iters=solver_iters)
         tipf = smooth_force * tipf + (1.0 - smooth_force) * new.tip_forces
         return (new, tipf), None
 

@@ -76,6 +76,11 @@ def render_depth_seg(
     cam_quat: jax.Array | None = None,   # [N, 4] per-env override (wrist cams)
     cam_pos: jax.Array | None = None,    # [N, 3]
     fused: bool | None = None,
+    tip_pos: jax.Array | None = None,    # [N, 3, 3] fingertip centers (world)
+    wrist_pos: jax.Array | None = None,  # [N, 3] wrist (capsule end a, world)
+    hand_pos: jax.Array | None = None,   # [N, 3] hand frame (capsule end b)
+    tip_radius: float = 0.018,
+    hand_radius: float = 0.045,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (depth_normalized [N,H,W], seg [N,H,W] int32, depth_raw).
 
@@ -84,6 +89,11 @@ def render_depth_seg(
     1005-1034); by default the static real-calibrated external pose is used.
     `fused` selects the Pallas VMEM-resident marcher (render_pallas.py);
     default: on for TPU.
+
+    With `tip_pos`/`wrist_pos`/`hand_pos` the robot hand is rendered as a
+    proxy SDF (3 fingertip spheres + wrist→hand capsule) with seg id 1
+    (kuka) — the reference's depth images contain the descending hand inside
+    the 0.5 m frustum (factory_env_insertion.py:940-1003, actor seg id 1).
     """
     n = plug_pos.shape[0]
     rays_c = _pixel_rays(cfg)                                  # [H, W, 3]
@@ -115,12 +125,23 @@ def render_depth_seg(
         cam_tv = jnp.broadcast_to(cam_t, (n, 3)) if cam_t.ndim == 1 else cam_t
         M_plug = jnp.einsum("nij,njk->nik", rot.quat_to_matrix(inv_pq), cam_R)
         M_sock = jnp.einsum("nij,njk->nik", rot.quat_to_matrix(inv_sq), cam_R)
+        tips_cam = wrist_cam = hand_cam = None
+        if tip_pos is not None:
+            # world → camera frame: c = Rᵀ(x − t); ray origin is 0 there
+            to_cam = lambda x: jnp.einsum(
+                "nji,nj->ni", cam_R, x - cam_tv) if x.ndim == 2 else jnp.einsum(
+                "nji,nfj->nfi", cam_R, x - cam_tv[:, None])
+            tips_cam = to_cam(tip_pos)
+            wrist_cam = to_cam(wrist_pos)
+            hand_cam = to_cam(hand_pos)
         t_hit, dmin, comp = rp.camera_march_fused(
             M_plug, o_plug, M_sock, o_sock, cam_R[:, 2, :], cam_tv[:, 2],
             kind_onehot, plug_hx, plug_hy, plug_length, hole_hx, hole_hy,
             socket_height, table_height, rays_flat,
             iters=cfg.march_iters, near=cfg.near, far=cfg.far,
             plate_hx=float(SOCKET_PLATE_HX), plate_hy=float(SOCKET_PLATE_HY),
+            tips_cam=tips_cam, wrist_cam=wrist_cam, hand_cam=hand_cam,
+            tip_radius=tip_radius, hand_radius=hand_radius,
         )
         t_hit = t_hit[:, :hw].reshape(n, cfg.height, cfg.width)
         dmin = dmin[:, :hw].reshape(n, cfg.height, cfg.width)
@@ -128,7 +149,8 @@ def render_depth_seg(
         hit = (dmin < 2e-3) & (t_hit < cfg.far - 1e-4)
         seg = jnp.where(
             hit & (comp == 1.0), SEG_PLUG,
-            jnp.where(hit & (comp == 2.0), SEG_SOCKET, SEG_TABLE),
+            jnp.where(hit & (comp == 2.0), SEG_SOCKET,
+                      jnp.where(hit & (comp == 3.0), SEG_KUKA, SEG_TABLE)),
         ).astype(jnp.int32)
         depth_norm, depth_raw = _depth_epilogue(cfg, t_hit, hit, noise_key)
         return depth_norm, seg, depth_raw
@@ -145,8 +167,23 @@ def render_depth_seg(
     rays_p = rot.quat_apply(inv_pq[:, None, None, :], rays_w)  # [N, H, W, 3]
     rays_s = rot.quat_apply(inv_sq[:, None, None, :], rays_w)
 
+    def kuka_sdf(p_w):
+        """Robot proxy: 3 fingertip spheres + wrist→hand capsule (world)."""
+        if tip_pos is None:
+            return jnp.full(p_w.shape[:-1], 1e3, p_w.dtype)
+        d_tips = jnp.min(
+            jnp.linalg.norm(p_w[..., None, :] - tip_pos[:, None, None], axis=-1),
+            axis=-1,
+        ) - tip_radius
+        a = wrist_pos[:, None, None, :]
+        ab = (hand_pos - wrist_pos)[:, None, None, :]
+        ab2 = jnp.sum(ab * ab, -1, keepdims=True) + 1e-9
+        h = jnp.clip(jnp.sum((p_w - a) * ab, -1, keepdims=True) / ab2, 0.0, 1.0)
+        d_cap = jnp.linalg.norm(p_w - a - h * ab, axis=-1) - hand_radius
+        return jnp.minimum(d_tips, d_cap)
+
     def scene_sdf(t):
-        """Component distances at ray parameter t: [3, N, H, W]."""
+        """Component distances at ray parameter t: [4, N, H, W]."""
         p_w = cam_t_b + rays_w * t[..., None]
         p_p = o_plug[:, None, None, :] + rays_p * t[..., None]
         p_s = o_sock[:, None, None, :] + rays_s * t[..., None]
@@ -160,7 +197,7 @@ def render_depth_seg(
             jnp.asarray(SOCKET_PLATE_HX, t.dtype), jnp.asarray(SOCKET_PLATE_HY, t.dtype),
         )
         d_table = p_w[..., 2] - table_height[:, None, None]
-        return jnp.stack([d_table, d_plug, d_sock])
+        return jnp.stack([d_table, d_plug, d_sock, kuka_sdf(p_w)])
 
     def march(t, _):
         d = jnp.min(scene_sdf(t), axis=0)
@@ -169,11 +206,12 @@ def render_depth_seg(
     t0 = jnp.full((n, cfg.height, cfg.width), cfg.near)
     t_hit, _ = jax.lax.scan(march, t0, None, length=cfg.march_iters)
 
-    d_comp = scene_sdf(t_hit)                                   # [3, N, H, W]
-    comp = jnp.argmin(d_comp, axis=0)                           # 0 table, 1 plug, 2 socket
+    d_comp = scene_sdf(t_hit)                                   # [4, N, H, W]
+    comp = jnp.argmin(d_comp, axis=0)                           # table/plug/socket/kuka
     hit = (jnp.min(d_comp, axis=0) < 2e-3) & (t_hit < cfg.far - 1e-4)
     seg = jnp.where(
-        hit, jnp.asarray([SEG_TABLE, SEG_PLUG, SEG_SOCKET])[comp], SEG_TABLE
+        hit, jnp.asarray([SEG_TABLE, SEG_PLUG, SEG_SOCKET, SEG_KUKA])[comp],
+        SEG_TABLE
     ).astype(jnp.int32)
 
     depth_norm, depth_raw = _depth_epilogue(cfg, t_hit, hit, noise_key)

@@ -296,7 +296,8 @@ def tactile_march_fused(
 
 
 def _camera_kernel(scal, rays, t_out, dmin_out, comp_out, *, iters: int,
-                   near: float, far: float, plate_hx: float, plate_hy: float):
+                   near: float, far: float, plate_hx: float, plate_hy: float,
+                   tip_radius: float, hand_radius: float):
     S = scal[...]
     c = lambda i: S[:, i:i + 1]
     mp = [c(i) for i in range(9)]            # camera→plug rotation
@@ -309,6 +310,14 @@ def _camera_kernel(scal, rays, t_out, dmin_out, comp_out, *, iters: int,
     phx, phy, plen = c(34), c(35), c(36)
     hhx, hhy, sheight = c(37), c(38), c(39)
     table_h = c(40)
+    # robot proxy geometry in CAMERA frame (ray origin = 0): 3 fingertip
+    # spheres + wrist→hand capsule (factory_env_insertion.py:940-1003 —
+    # the hand enters the external camera's 0.5 m frustum during descent)
+    tips = [(c(41 + 3 * i), c(42 + 3 * i), c(43 + 3 * i)) for i in range(3)]
+    ax, ay, az = c(50), c(51), c(52)         # capsule end a (wrist)
+    bx, by, bz = c(53), c(54), c(55)         # capsule end b (hand)
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    ab2 = abx * abx + aby * aby + abz * abz + 1e-9
 
     R = rays[...]
     rx, ry, rz = R[0:1, :], R[1:2, :], R[2:3, :]
@@ -320,24 +329,38 @@ def _camera_kernel(scal, rays, t_out, dmin_out, comp_out, *, iters: int,
     dsz = ms[6] * rx + ms[7] * ry + ms[8] * rz
     dwz = wz0 * rx + wz1 * ry + wz2 * rz     # world-frame ray z component
 
+    def kuka_sdf(t):
+        px, py, pz = rx * t, ry * t, rz * t  # camera-frame point on the ray
+        d = None
+        for tx, ty, tz in tips:
+            dx, dy, dz = px - tx, py - ty, pz - tz
+            ds_ = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-12) - tip_radius
+            d = ds_ if d is None else jnp.minimum(d, ds_)
+        qx, qy, qz = px - ax, py - ay, pz - az
+        h = jnp.clip((qx * abx + qy * aby + qz * abz) / ab2, 0.0, 1.0)
+        cx, cy, cz = qx - h * abx, qy - h * aby, qz - h * abz
+        dcap = jnp.sqrt(cx * cx + cy * cy + cz * cz + 1e-12) - hand_radius
+        return jnp.minimum(d, dcap)
+
     def scene(t):
         d_plug = _plug_sdf_planes(opx + dpx * t, opy + dpy * t, opz + dpz * t,
                                   oh, phx, phy, plen)
         d_sock = _socket_sdf_planes(osx + dsx * t, osy + dsy * t, osz + dsz * t,
                                     oh, hhx, hhy, sheight, plate_hx, plate_hy)
         d_table = (cam_z + dwz * t) - table_h
-        return d_table, d_plug, d_sock
+        return d_table, d_plug, d_sock, kuka_sdf(t)
 
     t = jnp.full(dpx.shape, near, dpx.dtype)
     for _ in range(iters):
-        dt, dp, ds = scene(t)
-        d = jnp.minimum(jnp.minimum(dt, dp), ds)
+        dt, dp, ds, dk = scene(t)
+        d = jnp.minimum(jnp.minimum(jnp.minimum(dt, dp), ds), dk)
         t = jnp.minimum(t + jnp.maximum(d, 1e-4), far)
 
-    dt, dp, ds = scene(t)
-    dmin = jnp.minimum(jnp.minimum(dt, dp), ds)
-    # argmin first-wins tie order: table (0), plug (1), socket (2)
-    comp = jnp.where(dt <= dmin, 0.0, jnp.where(dp <= dmin, 1.0, 2.0))
+    dt, dp, ds, dk = scene(t)
+    dmin = jnp.minimum(jnp.minimum(jnp.minimum(dt, dp), ds), dk)
+    # argmin first-wins tie order: table (0), plug (1), socket (2), kuka (3)
+    comp = jnp.where(dt <= dmin, 0.0,
+                     jnp.where(dp <= dmin, 1.0, jnp.where(ds <= dmin, 2.0, 3.0)))
     t_out[...] = t
     dmin_out[...] = dmin
     comp_out[...] = comp
@@ -354,13 +377,23 @@ def camera_march_fused(
     plug_hx, plug_hy, plug_length, hole_hx, hole_hy, socket_height, table_h,
     rays_c: jax.Array,   # [HW_pad, 3]
     iters: int, near: float, far: float, plate_hx: float, plate_hy: float,
+    tips_cam: jax.Array | None = None,   # [N, 3, 3] fingertip centers (camera frame)
+    wrist_cam: jax.Array | None = None,  # [N, 3] capsule end a
+    hand_cam: jax.Array | None = None,   # [N, 3] capsule end b
+    tip_radius: float = 0.018, hand_radius: float = 0.045,
     interpret: bool | None = None,
 ):
     """Returns (t_hit, d_min, comp) planes [N, HW_pad]; comp ∈ {0 table,
-    1 plug, 2 socket} as float."""
+    1 plug, 2 socket, 3 kuka} as float."""
     n, hw = M_plug.shape[0], rays_c.shape[0]
     assert hw % LANE == 0
     n_pad = ((n + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
+
+    if tips_cam is None:
+        # park the proxy robot far behind the camera: never hit
+        tips_cam = jnp.full((n, 3, 3), -100.0, M_plug.dtype)
+        wrist_cam = jnp.full((n, 3), -100.0, M_plug.dtype)
+        hand_cam = jnp.full((n, 3), -101.0, M_plug.dtype)
 
     scal = jnp.concatenate(
         [
@@ -369,13 +402,15 @@ def camera_march_fused(
             plug_hx[:, None], plug_hy[:, None], plug_length[:, None],
             hole_hx[:, None], hole_hy[:, None], socket_height[:, None],
             table_h[:, None],
-            jnp.zeros((n, LANE - 41), M_plug.dtype),
+            tips_cam.reshape(n, 9), wrist_cam, hand_cam,
+            jnp.zeros((n, LANE - 56), M_plug.dtype),
         ],
         axis=1,
     )
     scal = _pad_axis(scal, n_pad, axis=0)
     if n_pad > n:
         scal = scal.at[n:, 34:40].set(1.0)  # avoid 0/0 in padded-row SDFs
+        scal = scal.at[n:, 41:56].set(-100.0)  # park padded-row robot proxies
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
@@ -384,6 +419,7 @@ def camera_march_fused(
     kernel = functools.partial(
         _camera_kernel, iters=iters, near=near, far=far,
         plate_hx=plate_hx, plate_hy=plate_hy,
+        tip_radius=tip_radius, hand_radius=hand_radius,
     )
     plane = pl.BlockSpec((BLOCK_R, hw), lambda i: (i, 0))
     t_hit, dmin, comp = pl.pallas_call(

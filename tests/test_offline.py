@@ -49,3 +49,43 @@ def test_collect_then_offline_train(tmp_path):
     )
     metrics = runner.run()
     assert np.isfinite(metrics["train/loss"]) and np.isfinite(metrics["val/loss"])
+
+
+def test_multimodal_collect_then_offline_train(tmp_path):
+    """tactile+pcl student trained offline from collected npz with a
+    trajectory-level held-out validation split (runner.py:150-304 parity)."""
+    cfg0 = default_task_config()
+    cfg = cfg0.replace(
+        rl=dataclasses.replace(cfg0.rl, max_episode_length=10),
+        env=dataclasses.replace(
+            cfg0.env, tactile=True, external_cam=True, pcl_cam=True,
+            seg_cam=True, total_points=64, num_points=24, num_points_socket=24,
+            num_points_goal=0,
+        ),
+    )
+    net, tx, pstate, _ = ppo_mod.build(
+        cfg, ppo_mod.PPOConfig(horizon=4, mini_epochs=2), MODEL, SUBS, 2,
+        jax.random.PRNGKey(0),
+    )
+    data_dir = str(tmp_path / "trajs")
+    collect_teacher_rollouts(
+        cfg, MODEL, SUBS, net, pstate.params, pstate.obs_rms, pstate.priv_rms,
+        n_envs=2, out_dir=data_dir, total_trajectories=5, chunk=11,
+    )
+    from isaacgyminsertion_tpu.data.dataset import list_trajectory_files, open_traj
+
+    files = list_trajectory_files(data_dir)
+    with open_traj(files[0]) as d:
+        assert "tactile" in d and "pcl" in d and "seg" in d
+        assert d["pcl"].shape[-1] == 3
+
+    ocfg = OfflineConfig(epochs=2, batch_size=8, use_tactile=True, use_pcl=True,
+                         use_seg=True, val_fraction=0.25)
+    runner = OfflineRunner(ocfg, data_dir, str(tmp_path / "out"))
+    metrics = runner.run()
+    assert np.isfinite(metrics["train/loss"])
+    assert np.isfinite(metrics["val/loss"])  # held-out trajectories exist
+    # the val split is disjoint from train by trajectory
+    train_set = set(runner.dataset.files)
+    val_set = set(runner.val_dataset.files)
+    assert train_set and val_set and not (train_set & val_set)

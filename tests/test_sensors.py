@@ -160,3 +160,36 @@ def test_wrist_camera_dynamic_pose():
     )
     seg_np = np.asarray(seg)
     assert (seg_np == cam_mod.SEG_PLUG).sum() > 10
+
+
+def test_camera_sees_robot_hand():
+    """The hand proxy (3 tip spheres + wrist capsule) renders with seg id 1
+    when it descends into the frustum (factory_env_insertion.py:940-1003)."""
+    sub_idx = jnp.arange(N) % len(SUBS.names)
+    sh = _shape_args(sub_idx)
+    ccfg = cam_mod.CameraConfig()
+    plug_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.05]), (N, 1))
+    plug_q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (N, 1))
+    sock_pos = jnp.tile(jnp.asarray([0.5, 0.0, 0.001]), (N, 1))
+    # hand right above the plug, tips around it — inside the 0.5 m frustum
+    tips = jnp.tile(jnp.asarray([[0.52, 0.0, 0.13], [0.48, 0.02, 0.13],
+                                 [0.48, -0.02, 0.13]]), (N, 1, 1))
+    wrist = jnp.tile(jnp.asarray([0.5, 0.0, 0.35]), (N, 1))
+    hand = jnp.tile(jnp.asarray([0.5, 0.0, 0.17]), (N, 1))
+    _, seg, _ = cam_mod.render_depth_seg(
+        ccfg, plug_q, plug_pos, plug_q, sock_pos, sh["kind_onehot"],
+        sh["plug_hx"], sh["plug_hy"], sh["plug_length"], sh["hole_hx"],
+        sh["hole_hy"], sh["socket_height"], jnp.full((N,), 0.001),
+        tip_pos=tips, wrist_pos=wrist, hand_pos=hand,
+    )
+    seg_np = np.asarray(seg)
+    assert (seg_np == cam_mod.SEG_KUKA).sum() > 10, np.unique(seg_np)
+    # plug/socket still visible around the hand
+    assert (seg_np == cam_mod.SEG_PLUG).sum() > 5
+    # without the proxy no kuka pixels appear
+    _, seg0, _ = cam_mod.render_depth_seg(
+        ccfg, plug_q, plug_pos, plug_q, sock_pos, sh["kind_onehot"],
+        sh["plug_hx"], sh["plug_hy"], sh["plug_length"], sh["hole_hx"],
+        sh["hole_hy"], sh["socket_height"], jnp.full((N,), 0.001),
+    )
+    assert (np.asarray(seg0) == cam_mod.SEG_KUKA).sum() == 0

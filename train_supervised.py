@@ -27,7 +27,18 @@ def main(argv=None):
         from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
         from isaacgyminsertion_tpu.utils.checkpoint import restore_path
 
+        import dataclasses
+
         cfg = default_task_config()
+        flag = lambda k: kv.get(k, "False").lower() == "true"
+        # sensor modalities recorded into the trajectories (side arrays)
+        cfg = cfg.replace(env=dataclasses.replace(
+            cfg.env,
+            tactile=flag("tactile"),
+            external_cam=flag("depth_cam") or flag("seg_cam") or flag("pcl_cam"),
+            depth_cam=flag("depth_cam"), seg_cam=flag("seg_cam"),
+            pcl_cam=flag("pcl_cam"),
+        ))
         model = build_kuka_openhand()
         subs = build_subassembly_set()
         net = ActorCriticSplit(num_actions=cfg.env.num_actions,
@@ -44,12 +55,19 @@ def main(argv=None):
 
     from isaacgyminsertion_tpu.algo.offline_runner import OfflineConfig, OfflineRunner
 
+    flag = lambda k: kv.get(k, "False").lower() == "true"
     cfg = OfflineConfig(
         epochs=int(kv.get("epochs", 10)),
         batch_size=int(kv.get("batch_size", 256)),
-        only_bc=kv.get("only_bc", "False").lower() == "true",
+        only_bc=flag("only_bc"),
+        use_obs=kv.get("obs_info", "True").lower() == "true",
+        use_tactile=flag("tactile_info"),
+        use_img=flag("img_info"),
+        use_seg=flag("seg_info"),
+        use_pcl=flag("pcl_info"),
     )
-    runner = OfflineRunner(cfg, data_dir, out)
+    runner = OfflineRunner(cfg, data_dir, out,
+                           teacher_ckpt=kv.get("teacher_checkpoint", ""))
     metrics = runner.run()
     print("offline training done:", metrics)
 
