@@ -81,14 +81,20 @@ def render_depth_seg(
     hand_pos: jax.Array | None = None,   # [N, 3] hand frame (capsule end b)
     tip_radius: float = 0.018,
     hand_radius: float = 0.045,
+    method: str = "exact",               # "exact" | "march" (SDF reference path)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (depth_normalized [N,H,W], seg [N,H,W] int32, depth_raw).
 
     With `cam_quat`/`cam_pos` the camera rides a per-env dynamic pose — the
     robot-attached viz cameras of the reference (factory_env_insertion.py:
     1005-1034); by default the static real-calibrated external pose is used.
-    `fused` selects the Pallas VMEM-resident marcher (render_pallas.py);
-    default: on for TPU.
+
+    `method="exact"` (default) computes closed-form ray intersections
+    (sensors/raycast.py, ~20× less math than the march and exact depths);
+    `method="march"` keeps the SDF sphere-march: the XLA scan on CPU or the
+    fused Pallas VMEM marcher on TPU (`fused` overrides that choice). The
+    march path is retained as the independent reference implementation the
+    exact path is parity-tested against.
 
     With `tip_pos`/`wrist_pos`/`hand_pos` the robot hand is rendered as a
     proxy SDF (3 fingertip spheres + wrist→hand capsule) with seg id 1
@@ -107,6 +113,49 @@ def render_depth_seg(
     inv_sq, inv_st = rot.tf_inverse(socket_q, socket_pos)
     o_plug = inv_pt + rot.quat_apply(inv_pq, cam_t)            # [N, 3]
     o_sock = inv_st + rot.quat_apply(inv_sq, cam_t)
+
+    if method == "exact":
+        from . import raycast as rc
+
+        rays_w = (
+            jnp.broadcast_to(rot.quat_apply(cam_q, rays_c), (n,) + rays_c.shape)
+            if cam_q.ndim == 1
+            else rot.quat_apply(cam_q[:, None, None, :], rays_c[None])
+        )
+        rays_p = rot.quat_apply(inv_pq[:, None, None, :], rays_w)
+        rays_s = rot.quat_apply(inv_sq[:, None, None, :], rays_w)
+        ex = lambda a: a[:, None, None]
+        t_plug = rc.plug_hit(
+            ex(o_plug), rays_p, ex(kind_onehot), ex(plug_hx), ex(plug_hy),
+            ex(plug_length),
+        )
+        t_sock = rc.socket_hit(
+            ex(o_sock), rays_s, ex(kind_onehot), ex(hole_hx), ex(hole_hy),
+            ex(socket_height), jnp.asarray(SOCKET_PLATE_HX, rays_w.dtype),
+            jnp.asarray(SOCKET_PLATE_HY, rays_w.dtype),
+        )
+        cam_t_w = jnp.broadcast_to(cam_t, (n, 3)) if cam_t.ndim == 1 else cam_t
+        o_w = cam_t_w[:, None, None]
+        t_table = rc.table_hit(o_w, rays_w, ex(table_height))
+        if tip_pos is not None:
+            t_kuka = rc.capsule_hit(o_w, rays_w, wrist_pos[:, None, None],
+                                    hand_pos[:, None, None], hand_radius)
+            for i in range(3):
+                t_kuka = jnp.minimum(
+                    t_kuka, rc.sphere_hit(o_w, rays_w, tip_pos[:, None, None, i],
+                                          tip_radius))
+        else:
+            t_kuka = jnp.full_like(t_table, rc.BIG)
+        ts = jnp.stack([t_table, t_plug, t_sock, t_kuka])       # [4, N, H, W]
+        comp = jnp.argmin(ts, axis=0)
+        t_hit = jnp.min(ts, axis=0)
+        hit = (t_hit > 0.0) & (t_hit < cfg.far - 1e-4)  # epilogue clips to near
+        seg = jnp.where(
+            hit, jnp.asarray([SEG_TABLE, SEG_PLUG, SEG_SOCKET, SEG_KUKA])[comp],
+            SEG_TABLE,
+        ).astype(jnp.int32)
+        depth_norm, depth_raw = _depth_epilogue(cfg, t_hit, hit, noise_key)
+        return depth_norm, seg, depth_raw
 
     if fused is None:
         fused = jax.default_backend() == "tpu"

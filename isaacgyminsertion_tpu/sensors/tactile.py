@@ -89,11 +89,15 @@ def render_tactile(
     noise_key: jax.Array | None = None,
     noise_std: float = 0.0,
     fused: bool | None = None,
+    method: str = "exact",
 ) -> jax.Array:
-    """Render [N, F, H, W, C] tactile images in one fused ray-march.
+    """Render [N, F, H, W, C] tactile images.
 
-    `fused` selects the Pallas kernel (sensors/render_pallas.py) that keeps
-    the march in VMEM; default: on for TPU, XLA path elsewhere.
+    `method="exact"` (default) uses the closed-form ray-prism intersection
+    (sensors/raycast.py): one hit + one SDF gradient for the shading normal
+    instead of a 12-iteration sphere march. `method="march"` keeps the
+    marching reference path; there `fused` selects the Pallas VMEM kernel
+    (sensors/render_pallas.py; default on for TPU).
     """
     n, f = tip_t.shape[:2]
     rays_c = _pixel_rays(cfg)                                  # [H, W, 3]
@@ -113,7 +117,7 @@ def render_tactile(
 
     if fused is None:
         fused = jax.default_backend() == "tpu"
-    if fused:
+    if method == "march" and fused:
         from . import render_pallas as rp
 
         hw = cfg.height * cfg.width
@@ -147,20 +151,35 @@ def render_tactile(
             plug_length[:, None, None, None],
         )
 
-    # sphere tracing (fixed trip count)
-    def march(t, _):
-        p = o_p[:, :, None, None, :] + d_p * t[..., None]
-        d = psdf(p)
-        return jnp.minimum(t + jnp.maximum(d, 1e-4), cfg.max_range), None
+    if method == "exact":
+        from . import raycast as rc
 
-    t0 = jnp.full((n, f, cfg.height, cfg.width), 1e-3)
-    t_hit, _ = jax.lax.scan(march, t0, None, length=cfg.march_iters)
+        t_hit = rc.plug_hit(
+            o_p[:, :, None, None, :], d_p, kind_onehot[:, None, None, None, :],
+            plug_hx[:, None, None, None], plug_hy[:, None, None, None],
+            plug_length[:, None, None, None],
+        )
+        hit = t_hit < cfg.max_range - 1e-4
+        t_hit = jnp.minimum(t_hit, cfg.max_range)
+        p_hit = o_p[:, :, None, None, :] + d_p * t_hit[..., None]
+        _, pullback = jax.vjp(psdf, p_hit)
+        (g,) = pullback(jnp.ones_like(t_hit))
+        normal_p = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
+    else:
+        # sphere tracing (fixed trip count)
+        def march(t, _):
+            p = o_p[:, :, None, None, :] + d_p * t[..., None]
+            d = psdf(p)
+            return jnp.minimum(t + jnp.maximum(d, 1e-4), cfg.max_range), None
 
-    p_hit = o_p[:, :, None, None, :] + d_p * t_hit[..., None]
-    d_final, pullback = jax.vjp(psdf, p_hit)
-    (g,) = pullback(jnp.ones_like(d_final))
-    normal_p = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
-    hit = (d_final < 2e-3) & (t_hit < cfg.max_range - 1e-4)
+        t0 = jnp.full((n, f, cfg.height, cfg.width), 1e-3)
+        t_hit, _ = jax.lax.scan(march, t0, None, length=cfg.march_iters)
+
+        p_hit = o_p[:, :, None, None, :] + d_p * t_hit[..., None]
+        d_final, pullback = jax.vjp(psdf, p_hit)
+        (g,) = pullback(jnp.ones_like(d_final))
+        normal_p = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
+        hit = (d_final < 2e-3) & (t_hit < cfg.max_range - 1e-4)
 
     # force-proportional indentation: deeper contact ⇒ brighter/nearer surface
     indent = cfg.max_deformation * jnp.clip(force / cfg.force_range, 0.0, 1.0)
