@@ -122,6 +122,7 @@ def build(
     teacher: TeacherBundle,
     rng: jax.Array,
     phase3: bool = False,
+    gan_params=None,
 ):
     """Construct the student, initial DAggerState and the jitted train epoch."""
     obs_dim = cfg_task.env.num_obs_hist * cfg_task.env.num_observations
@@ -180,7 +181,7 @@ def build(
         opt_state=tx.init(student_params),
         env_state=env_state,
     )
-    train_epoch = make_train_epoch(cfg_task, da_cfg, model, subs, teacher_net, teacher, student, tx)
+    train_epoch = make_train_epoch(cfg_task, da_cfg, model, subs, teacher_net, teacher, student, tx, gan_params=gan_params)
     return student, tx, state, train_epoch
 
 
@@ -220,8 +221,9 @@ def _prev_out_of(env_state, cfg_task):
 
 
 def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
-                     teacher: TeacherBundle, student, tx):
-    env_step = lambda s, a: insertion.step(cfg_task, model, subs, s, a)
+                     teacher: TeacherBundle, student, tx, gan_params=None):
+    env_step = lambda s, a: insertion.step(cfg_task, model, subs, s, a,
+                                           gan_params=gan_params)
     act_dim = cfg_task.env.num_actions
 
     def teacher_act(obs, priv):

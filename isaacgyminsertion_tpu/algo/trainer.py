@@ -223,7 +223,7 @@ class DAggerTrainer:
 
     def __init__(self, cfg_task, da_cfg, model, subs, n_envs, out_dir,
                  teacher_ckpt_path: str, seed: int = 0, phase3: bool = False,
-                 student_ckpt_path: str = ""):
+                 student_ckpt_path: str = "", gan_ckpt_path: str = ""):
         from . import ext_adapt as ea
 
         tree = restore_path(teacher_ckpt_path)
@@ -232,9 +232,14 @@ class DAggerTrainer:
         )
         self.cfg_task, self.da_cfg, self.n_envs = cfg_task, da_cfg, n_envs
         self.model, self.subs, self.teacher = model, subs, teacher
+        gan_params = None
+        if gan_ckpt_path:
+            # tactile sim2real: rendered frames pass through the CycleGAN
+            # generator inside the env step (factory_task_insertion.py:539-543)
+            gan_params = restore_path(gan_ckpt_path)["params"]["g_ab"]
         self.student, self.tx, self.state, train_epoch = ea.build(
             cfg_task, da_cfg, model, subs, n_envs, teacher, jax.random.PRNGKey(seed),
-            phase3=phase3,
+            phase3=phase3, gan_params=gan_params,
         )
         self.train_epoch = jax.jit(train_epoch)
         if student_ckpt_path:

@@ -153,6 +153,7 @@ def parse_args(argv: list[str] | None = None) -> dict:
         phase3=False,
         student_checkpoint="",
         grasp_dataset="",
+        gan_checkpoint="",
         eval_envs=None,
     )
     for arg in argv:
@@ -180,6 +181,10 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["student_checkpoint"] = str(val)
         elif k in ("grasp_dataset", "task.grasp_dataset"):
             out["grasp_dataset"] = str(val)
+        elif k in ("gan_checkpoint", "task.tactile.model_G"):
+            # tactile sim2real generator (reference tactile.sim2real +
+            # tactile.model_G keys, factory_task_insertion.py:100-124)
+            out["gan_checkpoint"] = str(val)
         elif k in ("eval_envs",):
             out["eval_envs"] = int(val)
         elif k == "task":
@@ -250,7 +255,8 @@ def main(argv: list[str] | None = None):
                                 args["num_envs"], args["output"],
                                 teacher_ckpt_path=args["checkpoint"], seed=args["seed"],
                                 phase3=args["phase3"],
-                                student_ckpt_path=args["student_checkpoint"])
+                                student_ckpt_path=args["student_checkpoint"],
+                                gan_ckpt_path=args["gan_checkpoint"])
         if args["test"]:
             trainer.test(eval_envs=args["eval_envs"])
         else:

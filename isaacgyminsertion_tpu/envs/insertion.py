@@ -723,8 +723,15 @@ def step(
     state: EnvState,
     policy_actions: jax.Array,
     grasp_data=None,
+    gan_params=None,
 ) -> tuple[EnvState, StepOutput]:
-    """One control step of the full env batch. Pure; jit/scan/shard_map-safe."""
+    """One control step of the full env batch. Pure; jit/scan/shard_map-safe.
+
+    `gan_params` (flax params of models/zoo.ResnetGenerator, trained by
+    algo/gan_runner.CycleGANRunner) enables the CycleGAN sim→real hook on
+    rendered tactile frames before they enter the queue — the reference's
+    tactile.sim2real path (factory_task_insertion.py:539-543, generator built
+    at :100-124)."""
     n = policy_actions.shape[0]
     (rng, k_reset, k_lat_delay, k_scale, k_sock, k_obs_delay, k_obs_noise,
      k_act_noise, k_force, k_tact, k_img, k_pcl, k_cgt) = jax.random.split(state.rng, 13)
@@ -884,6 +891,15 @@ def step(
             state.params.plug_length * psc, finger_forces_ema, noise_key=kt2,
             noise_std=0.01,
         )
+        if gan_params is not None:
+            # CycleGAN sim→real on the rendered frames (reference
+            # factory_task_insertion.py:539-543); generator is tanh-ranged
+            from ..models.zoo import ResnetGenerator
+
+            nf = timg.shape[0] * timg.shape[1]
+            flat = timg.reshape((nf,) + timg.shape[2:]) * 2.0 - 1.0
+            out_g = ResnetGenerator().apply(gan_params, flat)
+            timg = (out_g.reshape(timg.shape) + 1.0) * 0.5
         latest = _where(t_upd, timg, state.tactile_queue[:, 0])
         tactile_queue = jnp.concatenate(
             [latest[:, None], state.tactile_queue[:, :-1]], axis=1

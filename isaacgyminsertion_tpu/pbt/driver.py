@@ -31,19 +31,27 @@ def run_pbt_population(
     epochs_per_interval: int = 4,
     intervals: int = 4,
     seed: int = 0,
+    policy_offset: int = 0,
+    local_policies: int | None = None,
 ):
-    """Round-robin PBT over `num_policies` members; returns the members.
+    """Round-robin PBT over the local member slice; returns the members.
 
     Objective = windowed mean episode success (falls back to reward early in
     training), matching the reference's true_objective choice.
+
+    Multi-host partitioning (reference run_slurm.py/run_processes.py parity):
+    `pbt_params.num_policies` is the TOTAL population; this process trains
+    `local_policies` members with global indices policy_offset..+local-1 and
+    exchanges checkpoints with the rest through the shared workspace.
     """
-    num = pbt_params.num_policies
+    num = local_policies if local_policies is not None else pbt_params.num_policies
     members = []
     for i in range(num):
         hp = {k: getattr(base_ppo_cfg, k) for k in MUTABLE_HPARAMS}
         cfg = base_ppo_cfg.replace(**hp)
         net, tx, state, train_epoch = ppo_mod.build(
-            cfg_task, cfg, model, subs, n_envs, jax.random.PRNGKey(seed + i)
+            cfg_task, cfg, model, subs, n_envs,
+            jax.random.PRNGKey(seed + policy_offset + i)
         )
         members.append(dict(
             hparams=hp, cfg=cfg, state=state,
@@ -72,9 +80,10 @@ def run_pbt_population(
             m["iteration"] += 1
             m["objective"] = float(np.mean(succ)) if np.mean(succ) > 0 else float(np.mean(rewards))
 
-            p = dataclasses.replace(pbt_params, policy_idx=idx)
+            gidx = policy_offset + idx
+            p = dataclasses.replace(pbt_params, policy_idx=gidx)
             me = PbtMember(
-                policy_idx=idx, iteration=m["iteration"],
+                policy_idx=gidx, iteration=m["iteration"],
                 true_objective=m["objective"], hparams=m["hparams"],
                 weights={"params": m["state"].params, "obs_rms": m["state"].obs_rms,
                          "priv_rms": m["state"].priv_rms, "value_rms": m["state"].value_rms},

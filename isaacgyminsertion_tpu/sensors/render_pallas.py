@@ -185,7 +185,7 @@ _LIGHTS = (
 
 def _tactile_kernel(scal, rays, r_out, g_out, b_out, *, iters: int,
                     max_range: float, max_deformation: float,
-                    force_range: float, t0: float):
+                    force_range: float, t0: float, exact: bool = False):
     S = scal[...]
     c = lambda i: S[:, i:i + 1]
     m = [c(i) for i in range(9)]                     # camera→plug rotation
@@ -203,13 +203,34 @@ def _tactile_kernel(scal, rays, r_out, g_out, b_out, *, iters: int,
     def sdf(px, py, pz):
         return _plug_sdf_planes(px, py, pz, oh, hx, hy, length)
 
-    t = jnp.full(dx.shape, t0, dx.dtype)
-    for _ in range(iters):
-        d = sdf(ox + dx * t, oy + dy * t, oz + dz * t)
-        t = jnp.minimum(t + jnp.maximum(d, 1e-4), max_range)
+    if exact:
+        # closed-form first hit (sensors/raycast.py in planes form): the
+        # plug prism interval = section interval ∩ z-slab
+        from . import raycast as rc
 
-    px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
-    d_final = sdf(px, py, pz)
+        fns = (rc._circle_interval, rc._box_interval, rc._hexagon_interval,
+               rc._ellipse_interval, rc._trapezoid_interval,
+               rc._triangle_interval)
+        s_lo = jnp.zeros_like(dx)
+        s_hi = jnp.zeros_like(dx)
+        for k, fn in enumerate(fns):
+            lo, hi = fn(ox, oy, dx, dy, hx, hy)
+            s_lo = s_lo + oh[k] * lo
+            s_hi = s_hi + oh[k] * hi
+        z_lo, z_hi = rc._slab_interval(oz, dz, jnp.zeros_like(length), length)
+        t_in = jnp.maximum(jnp.maximum(s_lo, z_lo), t0)
+        t_out = jnp.minimum(s_hi, z_hi)
+        t = jnp.where(t_in <= t_out, jnp.minimum(t_in, max_range), max_range)
+        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+        d_final = jnp.where(t < max_range - 1e-6, 0.0, 1.0)
+    else:
+        t = jnp.full(dx.shape, t0, dx.dtype)
+        for _ in range(iters):
+            d = sdf(ox + dx * t, oy + dy * t, oz + dz * t)
+            t = jnp.minimum(t + jnp.maximum(d, 1e-4), max_range)
+
+        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+        d_final = sdf(px, py, pz)
     # tetrahedron FD normal (plug frame)
     nx = jnp.zeros_like(d_final)
     ny = jnp.zeros_like(d_final)
@@ -252,8 +273,13 @@ def tactile_march_fused(
     iters: int, max_range: float, max_deformation: float, force_range: float,
     t0: float = 1e-3,
     interpret: bool | None = None,
+    exact: bool = False,
 ) -> jax.Array:
-    """Returns shaded RGB planes [R, HW, 3] (pre-mask, pre-noise)."""
+    """Returns shaded RGB planes [R, HW, 3] (pre-mask, pre-noise).
+
+    `exact=True` replaces the march loop with the closed-form prism
+    intersection (sensors/raycast.py planes form) inside the same VMEM
+    kernel — fewer flops, identical output contract."""
     rr, hw = M.shape[0], rays_c.shape[0]
     assert hw % LANE == 0, "pad pixel count to a lane multiple"
     r_pad = ((rr + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
@@ -279,6 +305,7 @@ def tactile_march_fused(
     kernel = functools.partial(
         _tactile_kernel, iters=iters, max_range=max_range,
         max_deformation=max_deformation, force_range=force_range, t0=t0,
+        exact=exact,
     )
     plane = pl.BlockSpec((BLOCK_R, hw), lambda i: (i, 0))
     r, g, b = pl.pallas_call(

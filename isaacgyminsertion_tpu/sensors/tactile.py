@@ -89,16 +89,20 @@ def render_tactile(
     noise_key: jax.Array | None = None,
     noise_std: float = 0.0,
     fused: bool | None = None,
-    method: str = "exact",
+    method: str | None = None,
 ) -> jax.Array:
     """Render [N, F, H, W, C] tactile images.
 
-    `method="exact"` (default) uses the closed-form ray-prism intersection
-    (sensors/raycast.py): one hit + one SDF gradient for the shading normal
-    instead of a 12-iteration sphere march. `method="march"` keeps the
-    marching reference path; there `fused` selects the Pallas VMEM kernel
-    (sensors/render_pallas.py; default on for TPU).
+    `method="exact"` uses the closed-form ray-prism intersection
+    (sensors/raycast.py): one hit instead of a 12-iteration sphere march.
+    `method="march"` keeps the marching path. On TPU both run inside the
+    fused Pallas VMEM kernel (`fused`; render_pallas.py) — the plain-XLA
+    exact path measured SLOWER there than the Pallas march (60.9 vs 21.4 ms
+    sensor delta at 1024 envs: VMEM residency beats fewer flops), so the
+    default is the Pallas kernel with the closed-form hit (exact=True).
     """
+    if method is None:
+        method = "exact"
     n, f = tip_t.shape[:2]
     rays_c = _pixel_rays(cfg)                                  # [H, W, 3]
 
@@ -117,7 +121,7 @@ def render_tactile(
 
     if fused is None:
         fused = jax.default_backend() == "tpu"
-    if method == "march" and fused:
+    if fused:
         from . import render_pallas as rp
 
         hw = cfg.height * cfg.width
@@ -134,6 +138,7 @@ def render_tactile(
             rep(plug_hy), rep(plug_length), force.reshape(n * f),
             rays_flat, iters=cfg.march_iters, max_range=cfg.max_range,
             max_deformation=cfg.max_deformation, force_range=cfg.force_range,
+            exact=(method == "exact"),
         )                                                        # [R, HW_pad, 3]
         img = rgbh[:, :hw].reshape(n, f, cfg.height, cfg.width, 3)
         return _tactile_epilogue(cfg, img, noise_key, noise_std)
@@ -162,8 +167,13 @@ def render_tactile(
         hit = t_hit < cfg.max_range - 1e-4
         t_hit = jnp.minimum(t_hit, cfg.max_range)
         p_hit = o_p[:, :, None, None, :] + d_p * t_hit[..., None]
-        _, pullback = jax.vjp(psdf, p_hit)
-        (g,) = pullback(jnp.ones_like(t_hit))
+        # tetrahedron finite-difference normal — same estimator as the Pallas
+        # kernel (render_pallas._TET): the vjp normal picks a facet side at
+        # section corners where exact hits land, diverging between paths
+        tet = jnp.asarray([[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0],
+                           [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]])
+        eps = 2.0e-5
+        g = sum(tet[i] * psdf(p_hit + eps * tet[i])[..., None] for i in range(4))
         normal_p = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
     else:
         # sphere tracing (fixed trip count)

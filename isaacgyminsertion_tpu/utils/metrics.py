@@ -55,7 +55,8 @@ class Timer:
 class MetricsWriter:
     """TensorBoard (tensorboardX) + JSONL metrics sink."""
 
-    def __init__(self, out_dir: str, use_tb: bool = True):
+    def __init__(self, out_dir: str, use_tb: bool = True,
+                 wandb_project: str | None = None, wandb_run: str | None = None):
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
         self.jsonl = open(os.path.join(out_dir, "metrics.jsonl"), "a")
@@ -67,6 +68,19 @@ class MetricsWriter:
                 self.tb = SummaryWriter(os.path.join(out_dir, "tb"))
             except Exception:
                 self.tb = None
+        # optional wandb sink (reference runner.py:626-633 / config.yaml:55-61
+        # wandb_activate block); enabled by wandb_project or IGT_WANDB_PROJECT.
+        # wandb is not in this image — the hook degrades to a no-op.
+        self.wandb = None
+        project = wandb_project or os.environ.get("IGT_WANDB_PROJECT")
+        if project:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(project=project, name=wandb_run,
+                                        dir=out_dir, resume="allow")
+            except Exception:
+                self.wandb = None
 
     def write(self, step: int, scalars: dict):
         rec = {"step": int(step)}
@@ -77,8 +91,12 @@ class MetricsWriter:
                 self.tb.add_scalar(k, v, step)
         self.jsonl.write(json.dumps(rec) + "\n")
         self.jsonl.flush()
+        if self.wandb is not None:
+            self.wandb.log(dict(rec), step=int(step))
 
     def close(self):
         self.jsonl.close()
         if self.tb is not None:
             self.tb.close()
+        if self.wandb is not None:
+            self.wandb.finish()

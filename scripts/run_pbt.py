@@ -24,5 +24,8 @@ members = run_pbt_population(
                          workspace=os.environ.get("WORKSPACE", "outputs/pbt")),
     epochs_per_interval=int(os.environ.get("EPOCHS_PER_INTERVAL", 20)),
     intervals=int(os.environ.get("INTERVALS", 50)),
+    policy_offset=int(os.environ.get("POLICY_OFFSET", 0)),
+    local_policies=(int(os.environ["LOCAL_POLICIES"])
+                    if "LOCAL_POLICIES" in os.environ else None),
 )
 print("final objectives:", [m["objective"] for m in members])

@@ -60,3 +60,32 @@ def test_student_eval_fn():
     sr = eval_fn(ds.student_params, ds.stud_obs_rms, ds.pcl_rms,
                  jax.random.PRNGKey(2))
     assert 0.0 <= sr <= 1.0
+
+
+def test_gan_sim2real_hook_transforms_tactile():
+    """gan_params routes rendered tactile through the CycleGAN generator
+    in-graph (factory_task_insertion.py:539-543 parity)."""
+    import jax.numpy as jnp
+
+    from isaacgyminsertion_tpu.envs import insertion as ins
+    from isaacgyminsertion_tpu.models.zoo import ResnetGenerator
+
+    cfg0 = default_task_config()
+    cfg = cfg0.replace(
+        sim=dataclasses.replace(cfg0.sim, substeps=1, solver_iters=2),
+        env=dataclasses.replace(cfg0.env, tactile=True),
+    )
+    st = ins.reset_all(cfg, MODEL, SUBS, jax.random.PRNGKey(0), 2)
+    # init a generator on the tactile frame shape
+    h, w, c = st.tactile_queue.shape[-3:]
+    gan = ResnetGenerator()
+    gp = gan.init(jax.random.PRNGKey(1), jnp.zeros((1, h, w, c)))
+    step_plain = jax.jit(lambda s, a: ins.step(cfg, MODEL, SUBS, s, a))
+    step_gan = jax.jit(lambda s, a: ins.step(cfg, MODEL, SUBS, s, a, gan_params=gp))
+    act = jnp.zeros((2, 6))
+    _, out_p = step_plain(st, act)
+    _, out_g = step_gan(st, act)
+    a, b = np.asarray(out_p.tactile), np.asarray(out_g.tactile)
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)              # the generator changed the frames
+    assert np.isfinite(b).all() and b.min() >= 0.0 and b.max() <= 1.0

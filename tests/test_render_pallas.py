@@ -39,9 +39,13 @@ def test_tactile_fused_matches_xla():
                                     hx, hy, ln, force, fused=True))
     assert a.shape == b.shape == (n, f, cfg.height, cfg.width, 3)
     d = np.abs(a - b)
-    assert d.mean() < 1e-3
-    # edge-pixel hit flips only: <0.1% of pixels may differ visibly
-    assert (d > 0.05).mean() < 1e-3
+    # exact hits land ON the SDF zero set, where the tetrahedron-FD normal
+    # (Pallas) and the vjp normal (XLA) differ by a few percent of shading —
+    # larger than the old march-vs-march bound whose hit points sat slightly
+    # off-surface
+    assert d.mean() < 5e-3
+    # edge-pixel hit flips only: <0.5% of pixels may differ visibly
+    assert (d > 0.08).mean() < 5e-3
 
 
 def test_camera_fused_matches_xla():
@@ -75,3 +79,37 @@ def test_camera_fused_matches_xla():
                                         fused=True)
     assert np.abs(np.asarray(dn_c) - np.asarray(dn_d)).mean() < 1e-3
     assert (np.asarray(seg_c) != np.asarray(seg_d)).mean() < 5e-3
+
+
+def test_tactile_pallas_exact_matches_march():
+    """The closed-form hit inside the Pallas kernel reproduces the march
+    kernel's images (march carries its min-step forward bias; tolerances as
+    above)."""
+    rng = np.random.default_rng(3)
+    n, f = 2, 3
+    cfg = T.TactileConfig(march_iters=12)
+    tip_q = rot.quat_unit(jnp.asarray(rng.normal(size=(n, f, 4)), jnp.float32))
+    tip_t = jnp.asarray(rng.uniform(0.45, 0.55, (n, f, 3)), jnp.float32)
+    plug_q = rot.quat_unit(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32))
+    plug_pos = jnp.asarray(rng.uniform(0.45, 0.55, (n, 3)), jnp.float32)
+    oh = jnp.eye(6)[rng.integers(0, 6, n)]
+    hx = jnp.asarray(rng.uniform(0.005, 0.02, n), jnp.float32)
+    hy = jnp.asarray(rng.uniform(0.005, 0.02, n), jnp.float32)
+    ln = jnp.asarray(rng.uniform(0.03, 0.06, n), jnp.float32)
+    force = jnp.asarray(rng.uniform(0, 8, (n, f)), jnp.float32)
+
+    a = np.asarray(T.render_tactile(cfg, tip_q, tip_t, plug_q, plug_pos, oh,
+                                    hx, hy, ln, force, fused=True,
+                                    method="march"))
+    b = np.asarray(T.render_tactile(cfg, tip_q, tip_t, plug_q, plug_pos, oh,
+                                    hx, hy, ln, force, fused=True,
+                                    method="exact"))
+    d = np.abs(a - b)
+    # consistency check only — the raycast tests are the correctness oracle.
+    # The march's min-step bias (up to iters×1e-4 past the surface) shifts
+    # height ~2% and rotates the FD normal on curved sections (ellipse), so
+    # a small fraction of contact pixels legitimately differ by >0.1.
+    assert d.mean() < 6e-3
+    assert (d > 0.1).mean() < 2e-2
+    # identical hit footprint: the same pixels see the plug
+    assert ((a.mean(-1) > 0.01) == (b.mean(-1) > 0.01)).mean() > 0.995
