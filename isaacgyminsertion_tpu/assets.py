@@ -158,7 +158,9 @@ def _section_area_and_gyration(kind, hx, hy):
         b, t, h = 2 * hx, 2 * TRAPEZOID_TOP_RATIO * hx, 2 * hy
         a = 0.5 * (b + t) * h
         ix = h**3 * (b * b + 4 * b * t + t * t) / (36 * (b + t))
-        iy = h * (b + t) * (b * b + t * t) / 48  # approximation
+        # exact about the symmetry axis: Iy = ∫(2/3)w(y)^3 dy with w linear
+        # b/2→t/2 gives h(b^4-t^4)/(48(b-t)) = h(b+t)(b^2+t^2)/48
+        iy = h * (b + t) * (b * b + t * t) / 48
     else:  # triangle
         b, h = 2 * hx, 2 * hy
         a = 0.5 * b * h
