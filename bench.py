@@ -1,14 +1,15 @@
-"""Benchmark: fused PPO train-epoch throughput (env-steps/sec/chip).
+"""Benchmark: fused PPO train-epoch throughput at the north-star config.
 
-Runs the flagship teacher-PPO configuration (state-only obs, full physics +
-DR + reset pipeline) with rollout horizon 64 and the whole
-sim→obs→policy→GAE→update loop in one jit graph, and reports environment
-steps per second on the current device.
+Primary metric (BASELINE.json north star): env-steps/sec/chip of the FULL
+fused PPO train epoch — physics + DR + resets + sensors (tactile 3×64×64 and
+96×54 depth+seg cameras ON) + rollout + GAE + minibatch updates in one jit
+graph — at 8192 envs. `vs_baseline` divides by the driver's 10k A100
+IsaacGym reference point (target ≥ 5.0).
 
-The reference publishes no numbers (BASELINE.md); `vs_baseline` is measured
-against the driver's north-star reference point of 10k env-steps/sec for
-IsaacGym PhysX factory-insertion on A100 (BASELINE.json north_star: ≥5× ⇒
-vs_baseline ≥ 5.0 is the target at 8192 envs with sensors on).
+Extra keys on the same JSON line: the state-only rate at 1024 envs (the
+round-1 metric, for continuity) and an MFU estimate from XLA's cost
+analysis (flops/sec over the v5e bf16 peak — the physics path runs f32
+under ops.f32_matmul, so this is a conservative utilization bound).
 """
 
 from __future__ import annotations
@@ -22,43 +23,70 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 ASSUMED_A100_BASELINE = 10_000.0  # env-steps/sec, IsaacGym factory insertion
+V5E_BF16_PEAK_FLOPS = 197e12      # per chip
 
 
-def main(n_envs: int = 1024, epochs: int = 3):
+def build_epoch(cfg, n_envs, horizon=64):
     from isaacgyminsertion_tpu.algo import ppo as ppo_mod
     from isaacgyminsertion_tpu.assets import build_subassembly_set
-    from isaacgyminsertion_tpu.envs.config import default_task_config
     from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
 
-    cfg = default_task_config()
     model = build_kuka_openhand()
     subs = build_subassembly_set()
-    ppo_cfg = ppo_mod.PPOConfig()
-
+    ppo_cfg = ppo_mod.PPOConfig(horizon=horizon)
     net, tx, state, train_epoch = ppo_mod.build(
         cfg, ppo_cfg, model, subs, n_envs, jax.random.PRNGKey(0)
     )
-    step = jax.jit(train_epoch)
+    return jax.jit(train_epoch), state, ppo_cfg
 
-    # warmup / compile
-    state, metrics = step(state)
+
+def measure(step, state, n_envs, horizon, epochs=3):
+    lowered = step.lower(state)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state, metrics = step(state)   # warmup (already compiled)
     jax.block_until_ready(metrics)
-
     t0 = time.perf_counter()
     for _ in range(epochs):
         state, metrics = step(state)
     jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / epochs
+    rate = horizon * n_envs / dt
+    mfu = flops / dt / V5E_BF16_PEAK_FLOPS if flops else 0.0
+    return rate, mfu
 
-    env_steps = epochs * ppo_cfg.horizon * n_envs
-    rate = env_steps / dt
+
+def main(n_ns=8192, n_so=1024, horizon=64):
+    import dataclasses
+
+    from isaacgyminsertion_tpu.envs.config import default_task_config
+
+    base = default_task_config()
+
+    # north star: 8192 envs, tactile + depth(+seg) cameras on
+    cfg_ns = base.replace(env=dataclasses.replace(
+        base.env, tactile=True, external_cam=True, depth_cam=True, seg_cam=True))
+    step, state, ppo_cfg = build_epoch(cfg_ns, n_ns, horizon)
+    rate_ns, mfu_ns = measure(step, state, n_ns, ppo_cfg.horizon)
+
+    # round-1 continuity metric: state-only at 1024 envs
+    step1, state1, _ = build_epoch(base, n_so, horizon)
+    rate_so, _ = measure(step1, state1, n_so, ppo_cfg.horizon)
+
     print(json.dumps({
-        "metric": "ppo_env_steps_per_sec",
-        "value": round(rate, 1),
+        "metric": f"ppo_env_steps_per_sec_sensors_on_{n_ns}",
+        "value": round(rate_ns, 1),
         "unit": "env-steps/s",
-        "vs_baseline": round(rate / ASSUMED_A100_BASELINE, 3),
+        "vs_baseline": round(rate_ns / ASSUMED_A100_BASELINE, 3),
+        f"state_only_{n_so}": round(rate_so, 1),
+        "mfu_estimate": round(mfu_ns, 4),
+        "config": f"{n_ns} envs, tactile 3x64x64 + depth/seg 96x54, horizon {horizon}",
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(*[int(a) for a in sys.argv[1:4]])

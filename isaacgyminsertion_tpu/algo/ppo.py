@@ -59,6 +59,20 @@ class PPOConfig:
     # epoch-mean KL (the fused-epoch design keeps the LR constant in-graph),
     # so the adaptation reacts one epoch later and with a smoother signal.
     lr_schedule: str = "fixed"
+    # Eval-gated anneal ladder (trainer-side; no reference counterpart — the
+    # reference's PhysX near-rigid grasp does not exhibit the hover-collapse
+    # this counters): when eval success declines from its best for
+    # `anneal_patience` consecutive evals, restore the best-eval checkpoint,
+    # multiply the LR by `anneal_decay` (floored at `anneal_min_lr`) and
+    # re-init Adam moments. Requires an inject_hyperparams optimizer, which
+    # `build` selects automatically when this flag is on.
+    anneal_ladder: bool = False
+    anneal_decay: float = 0.5
+    anneal_patience: int = 2
+    anneal_min_lr: float = 1e-6
+    # evals within `anneal_margin` of the best don't count as declines
+    # (finite-eval success noise: sigma ~ sqrt(p(1-p)/eval_envs))
+    anneal_margin: float = 0.02
     value_bootstrap: bool = True
     normalize_input: bool = True
     normalize_value: bool = True
@@ -114,7 +128,7 @@ def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rn
     dummy_priv = jnp.zeros((1, cfg_task.env.num_states))
     params = net.init(k_net, dummy_obs, dummy_priv)
 
-    if ppo_cfg.lr_schedule == "kl":
+    if ppo_cfg.lr_schedule == "kl" or ppo_cfg.anneal_ladder:
         tx = optax.chain(
             optax.clip_by_global_norm(ppo_cfg.grad_norm),
             optax.inject_hyperparams(optax.adam)(

@@ -81,6 +81,14 @@ class PPOTrainer:
                                     eval_envs or min(n_envs, 64))
         self.eval_freq_steps = eval_freq_steps
         self._next_eval = eval_freq_steps
+        # eval-gated anneal ladder (PPOConfig.anneal_ladder): every PPO run
+        # on this task peaks in eval success then collapses (hover-dipping is
+        # rationally optimal under degrasp risk, ROUND_NOTES); the working
+        # countermeasure is restore-best + LR decay, automated here.
+        self._best_eval = float("-inf")
+        self._best_tree = None
+        self._decline = 0
+        self._cur_lr = ppo_cfg.learning_rate
         self.ckpt.dump_config({"task": cfg_task, "ppo": ppo_cfg, "num_envs": n_envs})
 
     def _ckpt_tree(self):
@@ -130,10 +138,58 @@ class PPOTrainer:
                                   self.state.priv_rms, jax.random.PRNGKey(epoch))
                 self.writer.write(int(agent_steps), {"eval/success_rate": sr})
                 self.ckpt.maybe_save_best(self._ckpt_tree(), float("-inf"), sr)
+                self._anneal_step(sr)
             if agent_steps >= self.ppo_cfg.max_agent_steps:
                 break
         self.ckpt.save_last(self._ckpt_tree(), int(float(self.state.agent_steps)))
         return self.state
+
+    def _set_lr(self, lr: float):
+        """Write the learning rate into the inject_hyperparams slot of the
+        optimizer state (build() selects that optimizer whenever the ladder
+        or the KL schedule is on)."""
+        opt_state = self.state.opt_state
+        inj = opt_state[1]
+        hp = dict(inj.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        self.state = self.state._replace(
+            opt_state=(opt_state[0], inj._replace(hyperparams=hp)) + tuple(opt_state[2:])
+        )
+
+    def _anneal_step(self, sr: float):
+        """One rung of the eval-gated anneal ladder (PPOConfig.anneal_ladder)."""
+        if not self.ppo_cfg.anneal_ladder:
+            return
+        if sr > self._best_eval:
+            self._best_eval = sr
+            self._best_tree = jax.device_get(self._ckpt_tree())
+            self._decline = 0
+            return
+        if sr >= self._best_eval - self.ppo_cfg.anneal_margin:
+            return  # within eval noise of the best: not a decline
+        self._decline += 1
+        if self._decline < self.ppo_cfg.anneal_patience or self._best_tree is None:
+            return
+        # restore the best-eval params/normalizers, fresh Adam moments,
+        # decayed LR; env_state keeps rolling (fresh exploration)
+        t = self._best_tree
+        params = jax.tree_util.tree_map(jnp.asarray, t["params"])
+        self.state = self.state._replace(
+            params=params,
+            obs_rms=jax.tree_util.tree_map(jnp.asarray, t["obs_rms"]),
+            priv_rms=jax.tree_util.tree_map(jnp.asarray, t["priv_rms"]),
+            value_rms=jax.tree_util.tree_map(jnp.asarray, t["value_rms"]),
+            opt_state=self.tx.init(params),
+        )
+        self._cur_lr = max(self._cur_lr * self.ppo_cfg.anneal_decay,
+                           self.ppo_cfg.anneal_min_lr)
+        self._set_lr(self._cur_lr)
+        self._decline = 0
+        self.writer.write(int(float(self.state.agent_steps)),
+                          {"info/anneal_restore_best": self._best_eval,
+                           "info/anneal_lr": self._cur_lr})
+        print(f"[anneal] restored best eval {self._best_eval:.3f}, "
+              f"lr -> {self._cur_lr:.2e}", flush=True)
 
     def record_video(self, n_steps: int = 150, seed: int = 0):
         """Rollout video + action/force traces with the current policy

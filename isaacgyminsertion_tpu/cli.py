@@ -95,6 +95,11 @@ _KEYMAP = {
     "train.ppo.truncate_grads": ("ppo", "grad_norm"),  # accepted alias
     "train.ppo.kl_threshold": ("ppo", "kl_threshold"),
     "train.ppo.lr_schedule": ("ppo", "lr_schedule"),
+    "train.ppo.anneal_ladder": ("ppo", "anneal_ladder"),
+    "train.ppo.anneal_decay": ("ppo", "anneal_decay"),
+    "train.ppo.anneal_patience": ("ppo", "anneal_patience"),
+    "train.ppo.anneal_min_lr": ("ppo", "anneal_min_lr"),
+    "train.ppo.anneal_margin": ("ppo", "anneal_margin"),
     "train.ppo.value_bootstrap": ("ppo", "value_bootstrap"),
     "train.ppo.normalize_input": ("ppo", "normalize_input"),
     "train.ppo.normalize_value": ("ppo", "normalize_value"),
@@ -155,6 +160,7 @@ def parse_args(argv: list[str] | None = None) -> dict:
         grasp_dataset="",
         gan_checkpoint="",
         eval_envs=None,
+        eval_freq_steps=10.0e6,
     )
     for arg in argv:
         if "=" not in arg:
@@ -187,6 +193,8 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["gan_checkpoint"] = str(val)
         elif k in ("eval_envs",):
             out["eval_envs"] = int(val)
+        elif k in ("eval_freq_steps",):
+            out["eval_freq_steps"] = float(val)
         elif k == "task":
             pass  # single task family; accepted for recipe compatibility
         elif k in _KEYMAP:
@@ -231,8 +239,11 @@ def main(argv: list[str] | None = None):
         return
 
     grasp_data = None
-    if args["grasp_dataset"]:
-        # dataset-driven resets (reference _reset_predefined_environment path)
+    if args["grasp_dataset"] and not args["task"].grasp_at_init:
+        # dataset-driven resets (reference _reset_predefined_environment path);
+        # grasp_at_init=True constructs the grasp at reset instead (the
+        # analytic-closure analog of the reference's move-close-grasp loops,
+        # factory_task_insertion.py:1418-1430) and ignores the dataset
         from .envs.grasp_gen import load_grasp_data
 
         grasp_data = load_grasp_data(args["grasp_dataset"], n_sub=len(subs.names),
@@ -241,7 +252,8 @@ def main(argv: list[str] | None = None):
     if args["algo"] == "PPO":
         trainer = PPOTrainer(args["task"], args["ppo"], model, subs,
                              args["num_envs"], args["output"], seed=args["seed"],
-                             grasp_data=grasp_data, eval_envs=args["eval_envs"])
+                             grasp_data=grasp_data, eval_envs=args["eval_envs"],
+                             eval_freq_steps=args["eval_freq_steps"])
         if args["checkpoint"]:
             trainer.restore(args["checkpoint"])
         if args["test"]:

@@ -72,6 +72,38 @@ def test_ppo_epoch_improves_nothing_breaks():
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_anneal_ladder_restores_best_and_decays_lr(tmp_path):
+    """PPOConfig.anneal_ladder: after `patience` declining evals the trainer
+    restores the best-eval params and multiplies the LR by `anneal_decay`."""
+    from isaacgyminsertion_tpu.algo.trainer import PPOTrainer
+
+    ppo_cfg = ppo_mod.PPOConfig(horizon=4, mini_epochs=2, learning_rate=1e-3,
+                                anneal_ladder=True, anneal_patience=2,
+                                anneal_decay=0.5)
+    tr = PPOTrainer(CFG, ppo_cfg, MODEL, SUBS, N, str(tmp_path))
+    tr._anneal_step(0.5)  # first eval: becomes the banked best
+    best = jax.device_get(tr.state.params)
+    tr.state, _ = tr.train_epoch(tr.state)  # params move
+    moved = jax.device_get(tr.state.params)
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(best), jax.tree_util.tree_leaves(moved))
+    )
+    tr._anneal_step(0.4)  # decline 1: no restore yet
+    lr = float(tr.state.opt_state[1].hyperparams["learning_rate"])
+    assert lr == pytest.approx(1e-3)
+    tr._anneal_step(0.3)  # decline 2 == patience: restore + decay
+    restored = jax.device_get(tr.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(best), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(a, b)
+    lr = float(tr.state.opt_state[1].hyperparams["learning_rate"])
+    assert lr == pytest.approx(5e-4)
+    # a later new best re-banks and the next single decline does not restore
+    tr._anneal_step(0.6)
+    tr._anneal_step(0.55)
+    assert float(tr.state.opt_state[1].hyperparams["learning_rate"]) == pytest.approx(5e-4)
+
+
 def test_adaptive_kl_lr_schedule():
     """lr_schedule='kl' implements AdaptiveScheduler semantics (frozen_ppo.py:
     864-877): LR moves opposite the epoch KL, clamped to [1e-6, 1e-2]."""
