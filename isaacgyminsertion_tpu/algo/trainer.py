@@ -77,7 +77,13 @@ class PPOTrainer:
         self.writer = MetricsWriter(out_dir)
         self.episode_rewards = AverageScalarMeter()
         self.episode_success = AverageScalarMeter()
-        self.eval_fn = make_eval_fn(cfg_task, model, subs, self.net,
+        # evals always run the TRUE clearance distribution: a fresh eval env
+        # resets at global_step 0, where an active clearance curriculum would
+        # hand out its loosest holes and inflate the success rate
+        import dataclasses as _dc
+        eval_cfg = cfg_task.replace(randomize=_dc.replace(
+            cfg_task.randomize, clearance_curriculum_extra=0.0))
+        self.eval_fn = make_eval_fn(eval_cfg, model, subs, self.net,
                                     eval_envs or min(n_envs, 64))
         self.eval_freq_steps = eval_freq_steps
         self._next_eval = eval_freq_steps

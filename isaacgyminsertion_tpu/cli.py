@@ -77,6 +77,8 @@ _KEYMAP = {
     "task.randomize.randomization_params.actions.schedule": ("task", "randomize.actions.schedule"),
     "task.randomize.randomization_params.actions.schedule_steps": ("task", "randomize.actions.schedule_steps"),
     "task.randomize.randomization_params.sim_params.gravity.range": ("task", "randomize.gravity.range"),
+    "task.randomize.clearance_curriculum_extra": ("task", "randomize.clearance_curriculum_extra"),
+    "task.randomize.clearance_curriculum_steps": ("task", "randomize.clearance_curriculum_steps"),
     # sim block
     "task.sim.disable_gravity": ("task", "sim.disable_gravity"),
     "task.sim.dt": ("task", "sim.dt"),

@@ -121,6 +121,16 @@ class RandomizeConfig:
     plug_friction_scale: tuple = (0.9, 1.3)
     socket_friction_scale: tuple = (0.3, 0.9)
     socket_scale: tuple = (1.0, 1.1)
+    # clearance curriculum (training recipe, no reference counterpart): an
+    # EXTRA socket-scale factor that decays linearly from (1 + extra) at
+    # global_step 0 to 1 at `clearance_curriculum_steps`, making early
+    # insertions low-risk (counters the hover-collapse: insertion attempts
+    # are rational when the hole is loose) and annealing to the true fit.
+    # 0.0 disables (default: exact reference distribution).
+    # `steps` is in global_step units (env-step calls, like NoiseSpec
+    # schedules): 40k calls at 1024 envs = ~41M agent steps
+    clearance_curriculum_extra: float = 0.0
+    clearance_curriculum_steps: float = 40_000.0
     friction_num_buckets: int = 250
     kuka_arm_initial_dof_pos: tuple = (0.0064, 0.2375, -0.0075, -1.2022, 0.0015, 1.69, -1.5699)
     fingertip_midpoint_rot_initial: tuple = (-3.14159265359, 0.0, -1.57079632679)

@@ -366,6 +366,12 @@ def _sample_episode(
     sock_scale = _uniform(keys[12], (n,), float(rz.socket_scale[0]), float(rz.socket_scale[1])) \
         if grasp_data is None else _uniform(jax.random.fold_in(keys[11], 7), (n,),
                                             float(rz.socket_scale[0]), float(rz.socket_scale[1]))
+    if rz.clearance_curriculum_extra > 0.0:
+        # clearance curriculum (RandomizeConfig): loose hole early, true fit
+        # after `clearance_curriculum_steps` — decays the extra scale linearly
+        remain = 1.0 - jnp.minimum(
+            global_step.astype(jnp.float32) / float(rz.clearance_curriculum_steps), 1.0)
+        sock_scale = sock_scale * (1.0 + float(rz.clearance_curriculum_extra) * remain)
     mass_scale = _uniform(keys[7], (n,), float(rz.plug_mass_scale[0]), float(rz.plug_mass_scale[1]))
     plug_fric_scale = _uniform(keys[8], (n,), float(rz.plug_friction_scale[0]), float(rz.plug_friction_scale[1]))
     sock_fric = _uniform(keys[9], (n,), float(rz.socket_friction_scale[0]), float(rz.socket_friction_scale[1]))

@@ -167,3 +167,32 @@ def test_socket_scale_folded_into_hole_dims(small_env):
     assert np.allclose(
         np.asarray(state.params.hole_hx),
         base_hx * np.asarray(state.params.socket_scale), atol=1e-6)
+
+
+def test_clearance_curriculum_anneals_hole_scale():
+    """RandomizeConfig.clearance_curriculum_*: hole dims start (1+extra)x
+    looser at global_step 0 and reach the true distribution at the schedule
+    end (same _sample_episode key => same base socket-scale draw)."""
+    model = build_kuka_openhand()
+    subs = build_subassembly_set(names=("yellow_round_peg_2in",))
+    base = default_task_config()
+    cfg = base.replace(randomize=dataclasses.replace(
+        base.randomize, clearance_curriculum_extra=0.2,
+        clearance_curriculum_steps=1000.0))
+    from isaacgyminsertion_tpu.physics import engine
+    sub_idx = jnp.zeros((4,), jnp.int32)
+    base_params = engine.make_params(subs, sub_idx, 4)
+
+    def hole_hx(c, gs):
+        _, params, _ = ins._sample_episode(
+            c, model, subs, jax.random.PRNGKey(3), 4, sub_idx, base_params,
+            global_step=jnp.asarray(gs, jnp.int32))
+        return np.asarray(params.hole_hx)
+
+    h0 = hole_hx(cfg, 0)
+    h_half = hole_hx(cfg, 500)
+    h_end = hole_hx(cfg, 1000)
+    h_off = hole_hx(base, 0)
+    np.testing.assert_allclose(h0, h_off * 1.2, rtol=1e-5)
+    np.testing.assert_allclose(h_half, h_off * 1.1, rtol=1e-5)
+    np.testing.assert_allclose(h_end, h_off, rtol=1e-5)
