@@ -114,7 +114,9 @@ def render_depth_seg(
     o_plug = inv_pt + rot.quat_apply(inv_pq, cam_t)            # [N, 3]
     o_sock = inv_st + rot.quat_apply(inv_sq, cam_t)
 
-    if method == "exact":
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    if method == "exact" and not fused:
         from . import raycast as rc
 
         rays_w = (
@@ -157,8 +159,6 @@ def render_depth_seg(
         depth_norm, depth_raw = _depth_epilogue(cfg, t_hit, hit, noise_key)
         return depth_norm, seg, depth_raw
 
-    if fused is None:
-        fused = jax.default_backend() == "tpu"
     if fused:
         from . import render_pallas as rp
 
@@ -191,6 +191,7 @@ def render_depth_seg(
             plate_hx=float(SOCKET_PLATE_HX), plate_hy=float(SOCKET_PLATE_HY),
             tips_cam=tips_cam, wrist_cam=wrist_cam, hand_cam=hand_cam,
             tip_radius=tip_radius, hand_radius=hand_radius,
+            exact=(method == "exact"),
         )
         t_hit = t_hit[:, :hw].reshape(n, cfg.height, cfg.width)
         dmin = dmin[:, :hw].reshape(n, cfg.height, cfg.width)

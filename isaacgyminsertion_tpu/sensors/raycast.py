@@ -147,6 +147,239 @@ _SECTION_INTERVALS = {
 }
 
 
+# ------------------------------------------------------- entry-face normals
+# Each *_interval_n variant also returns the (unnormalized) outward 2D normal
+# of the BINDING entry constraint — the normal is a byproduct of the interval
+# math (which face's lower bound won), so shading needs NO SDF gradient
+# evaluations (the tetrahedron-FD normal was ~65% of the per-ray flops in the
+# fused tactile kernel). Magnitudes are only consistent within one family;
+# callers select one family per env (one-hot) and normalize once at the end.
+
+
+def _circle_interval_n(ox, oy, dx, dy, hx, hy):
+    lo, hi = _circle_interval(ox, oy, dx, dy, hx, hy)
+    return lo, hi, ox + dx * lo, oy + dy * lo  # radial
+
+
+def _ellipse_interval_n(ox, oy, dx, dy, hx, hy):
+    lo, hi = _ellipse_interval(ox, oy, dx, dy, hx, hy)
+    px, py = ox + dx * lo, oy + dy * lo
+    return lo, hi, px / (hx * hx), py / (hy * hy)  # implicit-fn gradient
+
+
+def _box_interval_n(ox, oy, dx, dy, hx, hy):
+    lx, hxi = _slab_interval(ox, dx, -hx, hx)
+    ly, hyi = _slab_interval(oy, dy, -hy, hy)
+    xdom = lx >= ly
+    z = jnp.zeros_like(lx)
+    nx = jnp.where(xdom, -jnp.sign(dx), z)
+    ny = jnp.where(xdom, z, -jnp.sign(dy))
+    return jnp.maximum(lx, ly), jnp.minimum(hxi, hyi), nx, ny
+
+
+def _hexagon_interval_n(ox, oy, dx, dy, hx, hy):
+    del hy
+    s3 = 0.8660254037844386
+    axes = ((0.0, 1.0), (s3, 0.5), (-s3, 0.5))
+    lo = hi = nx = ny = None
+    for ux, uy in axes:
+        l, h = _slab_interval(ux * ox + uy * oy, ux * dx + uy * dy, -hx, hx)
+        s = -jnp.sign(ux * dx + uy * dy)  # entry side of the slab
+        if lo is None:
+            lo, hi, nx, ny = l, h, s * ux, s * uy
+        else:
+            dom = l > lo
+            nx = jnp.where(dom, s * ux, nx)
+            ny = jnp.where(dom, s * uy, ny)
+            lo, hi = jnp.maximum(lo, l), jnp.minimum(hi, h)
+    return lo, hi, nx, ny
+
+
+def _triangle_interval_n(ox, oy, dx, dy, hx, hy):
+    y0 = -2.0 * hy / 3.0
+    lo, hi = _halfplane_interval(-oy, -dy, -y0)
+    nx, ny = jnp.zeros_like(lo), -jnp.ones_like(lo)
+    for sx in (1.0, -1.0):
+        mx, my = sx * 2.0 * hy, hx
+        cb = mx * (sx * hx) + my * y0
+        l, h = _halfplane_interval(mx * ox + my * oy, mx * dx + my * dy, cb)
+        dom = l > lo
+        nx = jnp.where(dom, mx, nx)
+        ny = jnp.where(dom, my, ny)
+        lo, hi = jnp.maximum(lo, l), jnp.minimum(hi, h)
+    return lo, hi, nx, ny
+
+
+def _trapezoid_interval_n(ox, oy, dx, dy, hx, hy):
+    r1, r2, he = hx, TRAPEZOID_TOP_RATIO * hx, hy
+    y_c = 2.0 * hy * (r1 + 2.0 * r2) / (3.0 * (r1 + r2)) - hy
+    oy = oy + y_c
+    lo, hi = _slab_interval(oy, dy, -he, he)
+    nx, ny = jnp.zeros_like(lo), -jnp.sign(dy)
+    for sx in (1.0, -1.0):
+        mx, my = sx * 2.0 * he, r1 - r2
+        cb = mx * (sx * r1) + my * (-he)
+        l, h = _halfplane_interval(mx * ox + my * oy, mx * dx + my * dy, cb)
+        dom = l > lo
+        nx = jnp.where(dom, mx, nx)
+        ny = jnp.where(dom, my, ny)
+        lo, hi = jnp.maximum(lo, l), jnp.minimum(hi, h)
+    return lo, hi, nx, ny
+
+
+_SECTION_INTERVAL_NORMALS = (
+    _circle_interval_n, _box_interval_n, _hexagon_interval_n,
+    _ellipse_interval_n, _trapezoid_interval_n, _triangle_interval_n,
+)
+
+
+# ------------------------------------------------------- interior gradients
+# (d2, gx, gy) at a 2D point assumed INSIDE the section: true signed distance
+# (needed to arbitrate side-wall vs end-cap for the 3D prism) + outward
+# gradient direction (unnormalized — callers normalize once at the end; the
+# one-hot blend keeps exactly one family's value). Used for rays whose ORIGIN
+# is already inside the prism (deep gel indentation): no entry constraint
+# exists there, so the entry-face normal is undefined and shading must use the
+# nearest-face gradient — the same thing the march's FD normal converges to.
+
+
+def _circle_grad(px, py, hx, hy):
+    del hy
+    r = jnp.sqrt(px * px + py * py + 1e-18)
+    return r - hx, px, py
+
+
+def _box_grad(px, py, hx, hy):
+    ax, ay = jnp.abs(px) - hx, jnp.abs(py) - hy
+    xdom = ax >= ay
+    z = jnp.zeros_like(ax)
+    return (jnp.maximum(ax, ay),
+            jnp.where(xdom, jnp.sign(px), z),
+            jnp.where(xdom, z, jnp.sign(py)))
+
+
+def _hexagon_grad(px, py, hx, hy):
+    del hy
+    s3 = 0.8660254037844386
+    d = gx = gy = None
+    for ux, uy in ((0.0, 1.0), (s3, 0.5), (-s3, 0.5)):
+        u = ux * px + uy * py
+        dk = jnp.abs(u) - hx
+        s = jnp.sign(u)
+        if d is None:
+            d, gx, gy = dk, s * ux, s * uy
+        else:
+            dom = dk > d
+            gx = jnp.where(dom, s * ux, gx)
+            gy = jnp.where(dom, s * uy, gy)
+            d = jnp.maximum(d, dk)
+    return d, gx, gy
+
+
+def _ellipse_grad(px, py, hx, hy):
+    # same approximate distance as ops/sdf.sd_ellipse (d = k0(k0-1)/k1) AND
+    # its analytic gradient — matching the march path's FD/vjp direction
+    rx, ry = px / (hx * hx), py / (hy * hy)
+    k0 = jnp.sqrt((px / hx) ** 2 + (py / hy) ** 2 + 1e-18)
+    k1 = jnp.sqrt(rx * rx + ry * ry).clip(1e-9)
+    c1 = (2.0 * k0 - 1.0) / (jnp.maximum(k0, 1e-9) * k1)
+    c2 = k0 * (k0 - 1.0) / (k1 * k1 * k1)
+    gx = c1 * rx - c2 * rx / (hx * hx)
+    gy = c1 * ry - c2 * ry / (hy * hy)
+    return k0 * (k0 - 1.0) / k1, gx, gy
+
+
+def _triangle_grad(px, py, hx, hy):
+    y0 = -2.0 * hy / 3.0
+    d, gx, gy = y0 - py, jnp.zeros_like(px), -jnp.ones_like(px)
+    inv = 1.0 / jnp.sqrt(4.0 * hy * hy + hx * hx)
+    for sx in (1.0, -1.0):
+        mx, my = sx * 2.0 * hy, hx
+        cb = mx * (sx * hx) + my * y0
+        dk = (mx * px + my * py - cb) * inv
+        dom = dk > d
+        gx = jnp.where(dom, mx, gx)
+        gy = jnp.where(dom, my, gy)
+        d = jnp.maximum(d, dk)
+    return d, gx, gy
+
+
+def _trapezoid_grad(px, py, hx, hy):
+    r1, r2, he = hx, TRAPEZOID_TOP_RATIO * hx, hy
+    y_c = 2.0 * hy * (r1 + 2.0 * r2) / (3.0 * (r1 + r2)) - hy
+    py = py + y_c
+    d, gx, gy = jnp.abs(py) - he, jnp.zeros_like(px), jnp.sign(py)
+    inv = 1.0 / jnp.sqrt(4.0 * he * he + (r1 - r2) ** 2)
+    for sx in (1.0, -1.0):
+        mx, my = sx * 2.0 * he, r1 - r2
+        cb = mx * (sx * r1) + my * (-he)
+        dk = (mx * px + my * py - cb) * inv
+        dom = dk > d
+        gx = jnp.where(dom, mx, gx)
+        gy = jnp.where(dom, my, gy)
+        d = jnp.maximum(d, dk)
+    return d, gx, gy
+
+
+_SECTION_INNER_GRADS = (
+    _circle_grad, _box_grad, _hexagon_grad,
+    _ellipse_grad, _trapezoid_grad, _triangle_grad,
+)
+
+
+def plug_hit_normal(o, d, kind_onehot, hx, hy, length, t_min=0.0):
+    """First-hit t AND exact outward surface normal of the plug prism.
+
+    Returns (t, nx, ny, nz) in the plug local frame; t = BIG on miss, the
+    normal is unit-length where t is a real hit (garbage on miss — mask with
+    t). The normal is exact for every face (flats AND curved walls): it falls
+    out of knowing which constraint bound the entry interval, replacing the
+    tetrahedron-FD SDF gradient of the old exact path."""
+    ox, oy, dx, dy = o[..., 0], o[..., 1], d[..., 0], d[..., 1]
+    s_lo = s_hi = snx = sny = None
+    for k, fn in enumerate(_SECTION_INTERVAL_NORMALS):
+        lo, hi, nx, ny = fn(ox, oy, dx, dy, hx, hy)
+        w = kind_onehot[..., k]
+        if s_lo is None:
+            s_lo, s_hi = w * lo, w * hi
+            snx, sny = w * nx, w * ny
+        else:
+            s_lo, s_hi = s_lo + w * lo, s_hi + w * hi
+            snx, sny = snx + w * nx, sny + w * ny
+    z_lo, z_hi = _slab_interval(o[..., 2], d[..., 2], jnp.zeros_like(length), length)
+    entry = jnp.maximum(s_lo, z_lo)
+    t_in = jnp.maximum(entry, t_min)
+    t_out = jnp.minimum(s_hi, z_hi)
+    t = jnp.where(t_in <= t_out, t_in, BIG)
+    cap = z_lo > s_lo  # the z-slab bound the entry → end-cap face
+    z = jnp.zeros_like(s_lo)
+    nx = jnp.where(cap, z, snx)
+    ny = jnp.where(cap, z, sny)
+    nz = jnp.where(cap, -jnp.sign(d[..., 2]), z)
+    # interior origins (deep gel indentation): the entry happened behind the
+    # origin, so no face bound it — use the nearest-face gradient at the hit
+    # point (what the march's FD normal converges to from inside)
+    inside = (entry < t_min - 1e-9) & (t_in <= t_out)
+    th = jnp.minimum(t_in, 1.0)  # finite eval point even on miss rows
+    px, py, pz = (o[..., 0] + d[..., 0] * th, o[..., 1] + d[..., 1] * th,
+                  o[..., 2] + d[..., 2] * th)
+    d2g = gxg = gyg = None
+    for k, fn in enumerate(_SECTION_INNER_GRADS):
+        d2k, gxk, gyk = fn(px, py, hx, hy)
+        w = kind_onehot[..., k]
+        if d2g is None:
+            d2g, gxg, gyg = w * d2k, w * gxk, w * gyk
+        else:
+            d2g, gxg, gyg = d2g + w * d2k, gxg + w * gxk, gyg + w * gyk
+    wz = jnp.abs(pz - 0.5 * length) - 0.5 * length
+    cap_in = wz > d2g
+    nx = jnp.where(inside, jnp.where(cap_in, z, gxg), nx)
+    ny = jnp.where(inside, jnp.where(cap_in, z, gyg), ny)
+    nz = jnp.where(inside, jnp.where(cap_in, jnp.sign(pz - 0.5 * length), z), nz)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-9)
+    return t, nx * inv, ny * inv, nz * inv
+
+
 def section_interval(ox, oy, dx, dy, kind_onehot, hx, hy):
     """One-hot blended section interval (same mixed-batch strategy as
     ops/sdf.section_sdf: compute all six, select — cheaper than branching)."""

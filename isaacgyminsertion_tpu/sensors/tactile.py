@@ -159,22 +159,16 @@ def render_tactile(
     if method == "exact":
         from . import raycast as rc
 
-        t_hit = rc.plug_hit(
+        t_hit, nx, ny, nz = rc.plug_hit_normal(
             o_p[:, :, None, None, :], d_p, kind_onehot[:, None, None, None, :],
             plug_hx[:, None, None, None], plug_hy[:, None, None, None],
             plug_length[:, None, None, None],
         )
         hit = t_hit < cfg.max_range - 1e-4
         t_hit = jnp.minimum(t_hit, cfg.max_range)
-        p_hit = o_p[:, :, None, None, :] + d_p * t_hit[..., None]
-        # tetrahedron finite-difference normal — same estimator as the Pallas
-        # kernel (render_pallas._TET): the vjp normal picks a facet side at
-        # section corners where exact hits land, diverging between paths
-        tet = jnp.asarray([[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0],
-                           [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]])
-        eps = 2.0e-5
-        g = sum(tet[i] * psdf(p_hit + eps * tet[i])[..., None] for i in range(4))
-        normal_p = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
+        # the entry normal falls out of the interval math (which constraint
+        # bound the hit) — exact on every face, no SDF gradient evals
+        normal_p = jnp.stack([nx, ny, nz], axis=-1)
     else:
         # sphere tracing (fixed trip count)
         def march(t, _):

@@ -126,3 +126,64 @@ def test_camera_exact_matches_march():
     assert agree > 0.95, agree
     for sid in (cam_mod.SEG_PLUG, cam_mod.SEG_SOCKET):
         assert (seg_e == sid).sum() > 20
+
+
+def test_plug_hit_normal_matches_sdf_gradient_all_kinds():
+    """plug_hit_normal's interval-derived normal equals the SDF gradient at
+    the hit point (away from edges/corners, where the gradient is smooth)."""
+    for kind in KINDS:
+        onehot = jnp.zeros((1, 6)).at[0, kind].set(1.0)
+        hx = jnp.asarray([0.025])
+        hy = jnp.asarray([0.018])
+        length = jnp.asarray([0.0762])
+        o, d = _rand_rays(jax.random.PRNGKey(100 + kind), 512,
+                          jnp.asarray([0.0, 0.0, 0.04]), spread=0.02)
+        t, nx, ny, nz = rc.plug_hit_normal(o, d, onehot, hx, hy, length)
+        t2 = rc.plug_hit(o, d, onehot, hx, hy, length)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t2), rtol=1e-6)
+        hit = np.asarray(t) < 1.0
+        assert hit.sum() > 50
+        pts = o + d * jnp.minimum(t, 1.0)[:, None]
+        g = jax.vmap(jax.grad(
+            lambda p: sdfm.plug_sdf(p[None], onehot, hx, hy, length)[0]))(pts)
+        g = np.asarray(g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9))
+        n = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], -1)
+        dot = (n * g).sum(-1)[hit]
+        # edges/corners: the interval normal picks one adjoining face while
+        # the SDF gradient blends — exclude by requiring 97% strong agreement
+        assert (dot > 0.99).mean() > 0.97, (kind, (dot > 0.99).mean())
+        assert np.abs(np.linalg.norm(n[hit], axis=-1) - 1.0).max() < 1e-5
+
+
+def test_plug_hit_normal_interior_origins():
+    """Rays that START inside the prism (deep gel indentation): the returned
+    normal must be the nearest-face SDF gradient at the origin, not a stale
+    entry-face pick (regression: env-deep tactile frames shaded wrong)."""
+    for kind in KINDS:
+        onehot = jnp.zeros((1, 6)).at[0, kind].set(1.0)
+        hx = jnp.asarray([0.025])
+        hy = jnp.asarray([0.018])
+        length = jnp.asarray([0.0762])
+        key = jax.random.PRNGKey(200 + kind)
+        k1, k2 = jax.random.split(key)
+        # origins sampled inside the core of the prism
+        o = jax.random.uniform(k1, (256, 3), minval=-0.012, maxval=0.012)
+        o = o.at[:, 2].set(0.015 + 0.045 * jax.random.uniform(k1, (256,)))
+        d = jax.random.normal(k2, (256, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        ins = np.asarray(sdfm.plug_sdf(o, onehot, hx, hy, length)) < -1e-3
+        assert ins.sum() > 30, (kind, ins.sum())
+        t, nx, ny, nz = rc.plug_hit_normal(o, d, onehot, hx, hy, length,
+                                           t_min=1e-3)
+        # interior rays hit at t_min
+        np.testing.assert_allclose(np.asarray(t)[ins], 1e-3, rtol=1e-5)
+        pts = o + d * jnp.minimum(t, 1.0)[:, None]
+        g = jax.vmap(jax.grad(
+            lambda p: sdfm.plug_sdf(p[None], onehot, hx, hy, length)[0]))(pts)
+        g = np.asarray(g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9))
+        n = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], -1)
+        dot = (n * g).sum(-1)[ins]
+        # interior gradient is piecewise-constant per nearest face; near the
+        # medial axis the argmax face can legitimately flip vs the smooth
+        # blend — require strong agreement away from it
+        assert (dot > 0.97).mean() > 0.9, (kind, (dot > 0.97).mean())
