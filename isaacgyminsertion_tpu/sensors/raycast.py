@@ -327,6 +327,141 @@ _SECTION_INNER_GRADS = (
 )
 
 
+# ------------------------------------------------- packed section (unified)
+# Every section family is {p : u_j·p ≤ c_j ∀j} ∩ {|(x/a, y/b)| ≤ 1}: at most
+# HP_SLOTS unit-normal halfplanes plus an optional axis-aligned quadratic.
+# Packing the active family's constraints per env at reset collapses the
+# six-family one-hot evaluation (6 interval fns + 6 interior-grad fns per
+# pixel) into ONE constraint sweep — ~2× fewer flops in the tactile/camera
+# Pallas kernels, where the section math dominates per-ray cost. Neutral
+# slots are (0, 0, BIG): always satisfied, never bind, never dominate.
+
+HP_SLOTS = 6
+_S3 = 0.8660254037844386
+
+
+def section_halfplanes(kind_onehot, hx, hy):
+    """Pack per-env section constraints: (hp [..., HP_SLOTS, 3], quad [..., 3]).
+
+    hp rows are (ux, uy, c) with |u| = 1 meaning u·p ≤ c; quad is
+    (1/a, 1/b, active) meaning (x/a)² + (y/b)² ≤ 1 when active = 1.
+    One-hot blended over the six families (exactly one contributes)."""
+    z = jnp.zeros_like(hx)
+    one = jnp.ones_like(hx)
+    big = jnp.full_like(hx, BIG)
+    neutral = (z, z, big)
+
+    def fam(rows, quad):
+        rows = list(rows) + [neutral] * (HP_SLOTS - len(rows))
+        hp = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+        return hp, jnp.stack(quad, axis=-1)
+
+    inv_x, inv_y = 1.0 / hx, 1.0 / hy
+    circle = fam([], (inv_x, inv_x, one))
+    ellipse = fam([], (inv_x, inv_y, one))
+    box = fam([(one, z, hx), (-one, z, hx), (z, one, hy), (z, -one, hy)],
+              (z, z, z))
+    s3 = jnp.full_like(hx, _S3)
+    hexa = fam([(z, one, hx), (z, -one, hx),
+                (s3, 0.5 * one, hx), (-s3, -0.5 * one, hx),
+                (-s3, 0.5 * one, hx), (s3, -0.5 * one, hx)], (z, z, z))
+    # triangle (sd_triangle_iso frame): base y ≥ y0, two side edges
+    y0 = -2.0 * hy / 3.0
+    li = 1.0 / jnp.sqrt(4.0 * hy * hy + hx * hx)
+    tri_rows = [(z, -one, -y0)]
+    for sx in (1.0, -1.0):
+        mx, my = sx * 2.0 * hy, hx
+        cb = mx * (sx * hx) + my * y0
+        tri_rows.append((mx * li, my * li, cb * li))
+    tri = fam(tri_rows, (z, z, z))
+    # trapezoid (sd_trapezoid frame shifted by centroid y_c)
+    r1, r2, he = hx, TRAPEZOID_TOP_RATIO * hx, hy
+    y_c = 2.0 * hy * (r1 + 2.0 * r2) / (3.0 * (r1 + r2)) - hy
+    ti = 1.0 / jnp.sqrt(4.0 * he * he + (r1 - r2) ** 2)
+    trap_rows = [(z, one, he - y_c), (z, -one, he + y_c)]
+    for sx in (1.0, -1.0):
+        mx, my = sx * 2.0 * he, r1 - r2
+        cb = mx * (sx * r1) + my * (-he) - my * y_c  # back to unshifted frame
+        trap_rows.append((mx * ti, my * ti, cb * ti))
+    trap = fam(trap_rows, (z, z, z))
+
+    fams = (circle, box, hexa, ellipse, trap, tri)  # KIND_* order
+    hp = sum(kind_onehot[..., k, None, None] * fams[k][0] for k in range(6))
+    quad = sum(kind_onehot[..., k, None] * fams[k][1] for k in range(6))
+    return hp, quad
+
+
+def packed_interval_normal(ox, oy, dx, dy, hp, quad, want_normal=True):
+    """Ray interval + entry normal of a packed section (broadcasting form).
+
+    ox/oy/dx/dy: ray xy origin/dir; hp [..., HP_SLOTS, 3]; quad [..., 3]
+    broadcastable against them. Returns (t_lo, t_hi[, nx, ny]); the normal is
+    the binding entry constraint's outward direction (unit for halfplanes,
+    implicit-gradient for the quadratic — normalize after extruding)."""
+    t_lo = jnp.full_like(dx, -BIG)
+    t_hi = jnp.full_like(dx, BIG)
+    nx = jnp.zeros_like(dx)
+    ny = jnp.zeros_like(dx)
+    for j in range(HP_SLOTS):
+        ux, uy, c = hp[..., j, 0], hp[..., j, 1], hp[..., j, 2]
+        lo, hi = _halfplane_interval(ux * ox + uy * oy, ux * dx + uy * dy, c)
+        if want_normal:
+            dom = lo > t_lo
+            nx = jnp.where(dom, ux, nx)
+            ny = jnp.where(dom, uy, ny)
+        t_lo = jnp.maximum(t_lo, lo)
+        t_hi = jnp.minimum(t_hi, hi)
+    ia, ib, act = quad[..., 0], quad[..., 1], quad[..., 2]
+    qox, qoy, qdx, qdy = ox * ia, oy * ib, dx * ia, dy * ib
+    a = jnp.maximum(qdx * qdx + qdy * qdy, EPS)
+    b = qox * qdx + qoy * qdy
+    cc = qox * qox + qoy * qoy - 1.0
+    q_lo, q_hi = _quadratic_interval(a, b, cc)
+    q_lo = jnp.where(act > 0.5, q_lo, -BIG)
+    q_hi = jnp.where(act > 0.5, q_hi, BIG)
+    if want_normal:
+        dom = q_lo > t_lo
+        nx = jnp.where(dom, (ox + dx * q_lo) * ia * ia, nx)
+        ny = jnp.where(dom, (oy + dy * q_lo) * ib * ib, ny)
+    t_lo = jnp.maximum(t_lo, q_lo)
+    t_hi = jnp.minimum(t_hi, q_hi)
+    if want_normal:
+        return t_lo, t_hi, nx, ny
+    return t_lo, t_hi
+
+
+def packed_inner_grad(px, py, hp, quad):
+    """Signed distance + outward gradient at a point INSIDE a packed section
+    (interior-origin shading; see _SECTION_INNER_GRADS). Unit halfplane
+    normals make u·p − c a true distance; the quadratic uses the sd_ellipse
+    approximation and its analytic gradient."""
+    d = jnp.full_like(px, -BIG)
+    gx = jnp.zeros_like(px)
+    gy = jnp.zeros_like(px)
+    for j in range(HP_SLOTS):
+        ux, uy, c = hp[..., j, 0], hp[..., j, 1], hp[..., j, 2]
+        dk = ux * px + uy * py - c
+        dom = dk > d
+        gx = jnp.where(dom, ux, gx)
+        gy = jnp.where(dom, uy, gy)
+        d = jnp.maximum(d, dk)
+    ia, ib, act = quad[..., 0], quad[..., 1], quad[..., 2]
+    rx, ry = px * ia * ia, py * ib * ib
+    k0 = jnp.sqrt((px * ia) ** 2 + (py * ib) ** 2 + 1e-18)
+    k1 = jnp.sqrt(rx * rx + ry * ry).clip(1e-9)
+    dq = k0 * (k0 - 1.0) / k1
+    c1 = (2.0 * k0 - 1.0) / (jnp.maximum(k0, 1e-9) * k1)
+    c2 = k0 * (k0 - 1.0) / (k1 * k1 * k1)
+    qgx = c1 * rx - c2 * rx * ia * ia
+    qgy = c1 * ry - c2 * ry * ib * ib
+    dq = jnp.where(act > 0.5, dq, -BIG)
+    dom = dq > d
+    gx = jnp.where(dom, qgx, gx)
+    gy = jnp.where(dom, qgy, gy)
+    d = jnp.maximum(d, dq)
+    return d, gx, gy
+
+
 def plug_hit_normal(o, d, kind_onehot, hx, hy, length, t_min=0.0):
     """First-hit t AND exact outward surface normal of the plug prism.
 

@@ -29,6 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.sdf import TRAPEZOID_TOP_RATIO
 
@@ -183,9 +184,11 @@ _LIGHTS = (
 )
 
 
-def _tactile_kernel(scal, rays, r_out, g_out, b_out, *, iters: int,
-                    max_range: float, max_deformation: float,
-                    force_range: float, t0: float, exact: bool = False):
+def _tactile_kernel(scal, rays, mask, seed, r_out, g_out, b_out, *,
+                    iters: int, max_range: float, max_deformation: float,
+                    force_range: float, t0: float, exact: bool = False,
+                    noise_std: float = 0.0, glow: float = 0.0,
+                    clip_out: bool = True):
     S = scal[...]
     c = lambda i: S[:, i:i + 1]
     m = [c(i) for i in range(9)]                     # camera→plug rotation
@@ -193,6 +196,9 @@ def _tactile_kernel(scal, rays, r_out, g_out, b_out, *, iters: int,
     oh = tuple(c(12 + k) for k in range(6))
     hx, hy, length = c(18), c(19), c(20)
     force = c(21)
+    # packed section (raycast.section_halfplanes): 6 halfplanes + quadratic
+    hp = [(c(22 + 3 * j), c(23 + 3 * j), c(24 + 3 * j)) for j in range(6)]
+    qia, qib, qact = c(40), c(41), c(42)
 
     R = rays[...]                                    # [3, P]
     rx, ry, rz = R[0:1, :], R[1:2, :], R[2:3, :]
@@ -204,22 +210,38 @@ def _tactile_kernel(scal, rays, r_out, g_out, b_out, *, iters: int,
         return _plug_sdf_planes(px, py, pz, oh, hx, hy, length)
 
     if exact:
-        # closed-form first hit + entry-face normal (sensors/raycast.py in
-        # planes form): the plug prism interval = section interval ∩ z-slab,
-        # and the normal is a byproduct of which constraint bound the entry —
-        # no SDF gradient evals (the tet-FD loop was ~65% of per-ray flops)
+        # closed-form first hit + entry-face normal on the PACKED section
+        # (raycast.section_halfplanes): one constraint sweep replaces the
+        # six-family one-hot evaluation — the section math dominated per-ray
+        # cost; normals fall out of which constraint bound the entry (no SDF
+        # gradient evals — the tet-FD loop was ~65% of per-ray flops)
         from . import raycast as rc
 
-        s_lo = jnp.zeros_like(dx)
-        s_hi = jnp.zeros_like(dx)
+        s_lo = jnp.full_like(dx, -rc.BIG)
+        s_hi = jnp.full_like(dx, rc.BIG)
         snx = jnp.zeros_like(dx)
         sny = jnp.zeros_like(dx)
-        for k, fn in enumerate(rc._SECTION_INTERVAL_NORMALS):
-            lo, hi, fnx, fny = fn(ox, oy, dx, dy, hx, hy)
-            s_lo = s_lo + oh[k] * lo
-            s_hi = s_hi + oh[k] * hi
-            snx = snx + oh[k] * fnx
-            sny = sny + oh[k] * fny
+        for ux, uy, cc in hp:
+            lo, hi = rc._halfplane_interval(ux * ox + uy * oy,
+                                            ux * dx + uy * dy, cc)
+            dom = lo > s_lo
+            snx = jnp.where(dom, ux, snx)
+            sny = jnp.where(dom, uy, sny)
+            s_lo = jnp.maximum(s_lo, lo)
+            s_hi = jnp.minimum(s_hi, hi)
+        qox, qoy = ox * qia, oy * qib
+        qdx, qdy = dx * qia, dy * qib
+        qa = jnp.maximum(qdx * qdx + qdy * qdy, 1e-9)
+        qb = qox * qdx + qoy * qdy
+        qc = qox * qox + qoy * qoy - 1.0
+        q_lo, q_hi = rc._quadratic_interval(qa, qb, qc)
+        q_lo = jnp.where(qact > 0.5, q_lo, -rc.BIG)
+        q_hi = jnp.where(qact > 0.5, q_hi, rc.BIG)
+        dom = q_lo > s_lo
+        snx = jnp.where(dom, (ox + dx * q_lo) * qia * qia, snx)
+        sny = jnp.where(dom, (oy + dy * q_lo) * qib * qib, sny)
+        s_lo = jnp.maximum(s_lo, q_lo)
+        s_hi = jnp.minimum(s_hi, q_hi)
         z_lo, z_hi = rc._slab_interval(oz, dz, jnp.zeros_like(length), length)
         entry = jnp.maximum(s_lo, z_lo)
         t_in = jnp.maximum(entry, t0)
@@ -232,17 +254,29 @@ def _tactile_kernel(scal, rays, r_out, g_out, b_out, *, iters: int,
         ny = jnp.where(cap, zz, sny)
         nz = jnp.where(cap, -jnp.sign(dz), zz)
         # interior origins (deep indentation): no entry face — use the
-        # nearest-face gradient at the hit point (raycast interior grads)
+        # nearest-face gradient at the hit point (raycast.packed_inner_grad)
         inside = (entry < t0 - 1e-9) & (t_in <= t_out)
         px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
-        d2g = jnp.zeros_like(dx)
+        d2g = jnp.full_like(dx, -rc.BIG)
         gxg = jnp.zeros_like(dx)
         gyg = jnp.zeros_like(dx)
-        for k, fn in enumerate(rc._SECTION_INNER_GRADS):
-            d2k, gxk, gyk = fn(px, py, hx, hy)
-            d2g = d2g + oh[k] * d2k
-            gxg = gxg + oh[k] * gxk
-            gyg = gyg + oh[k] * gyk
+        for ux, uy, cc in hp:
+            dk = ux * px + uy * py - cc
+            dom = dk > d2g
+            gxg = jnp.where(dom, ux, gxg)
+            gyg = jnp.where(dom, uy, gyg)
+            d2g = jnp.maximum(d2g, dk)
+        rxq, ryq = px * qia * qia, py * qib * qib
+        k0 = jnp.sqrt((px * qia) ** 2 + (py * qib) ** 2 + 1e-18)
+        k1 = jnp.maximum(jnp.sqrt(rxq * rxq + ryq * ryq), 1e-9)
+        dq = k0 * (k0 - 1.0) / k1
+        c1 = (2.0 * k0 - 1.0) / (jnp.maximum(k0, 1e-9) * k1)
+        c2 = k0 * (k0 - 1.0) / (k1 * k1 * k1)
+        dq = jnp.where(qact > 0.5, dq, -rc.BIG)
+        dom = dq > d2g
+        gxg = jnp.where(dom, c1 * rxq - c2 * rxq * qia * qia, gxg)
+        gyg = jnp.where(dom, c1 * ryq - c2 * ryq * qib * qib, gyg)
+        d2g = jnp.maximum(d2g, dq)
         wz = jnp.abs(pz - 0.5 * length) - 0.5 * length
         cap_in = wz > d2g
         nx = jnp.where(inside, jnp.where(cap_in, zz, gxg), nx)
@@ -284,9 +318,36 @@ def _tactile_kernel(scal, rays, r_out, g_out, b_out, *, iters: int,
         r = r + lam * cr
         g = g + lam * cg
         b = b + lam * cb
-    r_out[...] = r * height
-    g_out[...] = g * height
-    b_out[...] = b * height
+    # fused epilogue (tactile._tactile_epilogue): circular gel mask, static
+    # background glow, gaussian pixel noise, clip — saves 3-4 full-image HBM
+    # traversals at the step level
+    msk = mask[...]                                  # [1, HW] → broadcast
+    hm = height * msk
+    r, g, b = r * hm + glow * msk, g * hm + glow * msk, b * hm + glow * msk
+    if noise_std > 0.0:
+        pltpu.prng_seed(seed[0], pl.program_id(0))
+
+        def gauss_pair():
+            b1 = pltpu.prng_random_bits(r.shape)
+            b2 = pltpu.prng_random_bits(r.shape)
+            u1 = (b1 >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24) + 1e-7
+            u2 = (b2 >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24)
+            rad = jnp.sqrt(-2.0 * jnp.log(u1))
+            ang = (2.0 * 3.141592653589793) * u2
+            return rad * jnp.cos(ang), rad * jnp.sin(ang)
+
+        g1, g2 = gauss_pair()
+        g3, _ = gauss_pair()
+        r = r + noise_std * g1
+        g = g + noise_std * g2
+        b = b + noise_std * g3
+    if clip_out:
+        r = jnp.clip(r, 0.0, 1.0)
+        g = jnp.clip(g, 0.0, 1.0)
+        b = jnp.clip(b, 0.0, 1.0)
+    r_out[...] = r
+    g_out[...] = g
+    b_out[...] = b
 
 
 def tactile_march_fused(
@@ -299,21 +360,32 @@ def tactile_march_fused(
     t0: float = 1e-3,
     interpret: bool | None = None,
     exact: bool = False,
+    mask_flat: jax.Array | None = None,  # [HW] gel mask (1 inside, 0 outside)
+    noise_key: jax.Array | None = None,
+    noise_std: float = 0.0,
+    glow: float = 0.0,
 ) -> jax.Array:
-    """Returns shaded RGB planes [R, HW, 3] (pre-mask, pre-noise).
+    """Returns FINAL RGB planes [R, HW, 3] (mask, glow, noise, clip fused).
 
     `exact=True` replaces the march loop with the closed-form prism
     intersection (sensors/raycast.py planes form) inside the same VMEM
-    kernel — fewer flops, identical output contract."""
+    kernel — fewer flops, identical output contract. The epilogue
+    (tactile._tactile_epilogue pixel ops) runs inside the kernel; gaussian
+    noise uses the TPU hardware PRNG (pltpu.prng_random_bits), falling back
+    to XLA threefry under interpret mode where that primitive is missing."""
     rr, hw = M.shape[0], rays_c.shape[0]
     assert hw % LANE == 0, "pad pixel count to a lane multiple"
     r_pad = ((rr + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
 
+    from . import raycast as rc
+
+    hp, quad = rc.section_halfplanes(kind_onehot, hx, hy)
     scal = jnp.concatenate(
         [
             M.reshape(rr, 9), o, kind_onehot,
             hx[:, None], hy[:, None], length[:, None], force[:, None],
-            jnp.zeros((rr, LANE - 22), M.dtype),
+            hp.reshape(rr, 3 * rc.HP_SLOTS), quad,
+            jnp.zeros((rr, LANE - 43), M.dtype),
         ],
         axis=1,
     )
@@ -326,11 +398,23 @@ def tactile_march_fused(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
+    if mask_flat is None:
+        mask_flat = jnp.ones((hw,), M.dtype)
+    mask = mask_flat.astype(M.dtype)[None, :]        # [1, HW]
+    want_noise = noise_key is not None and noise_std > 0.0
+    in_kernel_noise = want_noise and not interpret
+    if in_kernel_noise:
+        seed = jax.random.key_data(noise_key).reshape(-1)[:1].astype(jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
     grid = (r_pad // BLOCK_R,)
     kernel = functools.partial(
         _tactile_kernel, iters=iters, max_range=max_range,
         max_deformation=max_deformation, force_range=force_range, t0=t0,
-        exact=exact,
+        exact=exact, glow=glow,
+        noise_std=noise_std if in_kernel_noise else 0.0,
+        clip_out=not (want_noise and not in_kernel_noise),
     )
     plane = pl.BlockSpec((BLOCK_R, hw), lambda i: (i, 0))
     r, g, b = pl.pallas_call(
@@ -339,12 +423,18 @@ def tactile_march_fused(
         in_specs=[
             pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0)),
             pl.BlockSpec((3, hw), lambda i: (0, 0)),
+            pl.BlockSpec((1, hw), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[plane] * 3,
         out_shape=[jax.ShapeDtypeStruct((r_pad, hw), M.dtype)] * 3,
         interpret=interpret,
-    )(scal, rays)
-    return jnp.stack([r[:rr], g[:rr], b[:rr]], axis=-1)
+    )(scal, rays, mask, seed)
+    img = jnp.stack([r[:rr], g[:rr], b[:rr]], axis=-1)
+    if want_noise and not in_kernel_noise:
+        img = img + noise_std * jax.random.normal(noise_key, img.shape)
+        img = jnp.clip(img, 0.0, 1.0)
+    return img
 
 
 def _camera_kernel(scal, rays, t_out, dmin_out, comp_out, *, iters: int,
@@ -368,6 +458,11 @@ def _camera_kernel(scal, rays, t_out, dmin_out, comp_out, *, iters: int,
     tips = [(c(41 + 3 * i), c(42 + 3 * i), c(43 + 3 * i)) for i in range(3)]
     ax, ay, az = c(50), c(51), c(52)         # capsule end a (wrist)
     bx, by, bz = c(53), c(54), c(55)         # capsule end b (hand)
+    # packed sections (raycast.section_halfplanes): plug then socket hole
+    hp_p = [(c(56 + 3 * j), c(57 + 3 * j), c(58 + 3 * j)) for j in range(6)]
+    quad_p = (c(74), c(75), c(76))
+    hp_h = [(c(77 + 3 * j), c(78 + 3 * j), c(79 + 3 * j)) for j in range(6)]
+    quad_h = (c(95), c(96), c(97))
     abx, aby, abz = bx - ax, by - ay, bz - az
     ab2 = abx * abx + aby * aby + abz * abz + 1e-9
 
@@ -401,21 +496,28 @@ def _camera_kernel(scal, rays, t_out, dmin_out, comp_out, *, iters: int,
         # march with ~1 interval evaluation per component; exact depths.
         from . import raycast as rc
 
-        fns = (rc._circle_interval, rc._box_interval, rc._hexagon_interval,
-               rc._ellipse_interval, rc._trapezoid_interval,
-               rc._triangle_interval)
-        # plug prism (plug frame)
-        p_lo = jnp.zeros_like(dpx)
-        p_hi = jnp.zeros_like(dpx)
-        h_lo = jnp.zeros_like(dpx)
-        h_hi = jnp.zeros_like(dpx)
-        for k, fn in enumerate(fns):
-            lo, hi = fn(opx, opy, dpx, dpy, phx, phy)
-            p_lo = p_lo + oh[k] * lo
-            p_hi = p_hi + oh[k] * hi
-            lo, hi = fn(osx, osy, dsx, dsy, hhx, hhy)  # socket hole section
-            h_lo = h_lo + oh[k] * lo
-            h_hi = h_hi + oh[k] * hi
+        def packed_iv(ox_, oy_, dx_, dy_, hps, quad):
+            lo_a = jnp.full_like(dx_, -rc.BIG)
+            hi_a = jnp.full_like(dx_, rc.BIG)
+            for ux, uy, cc in hps:
+                lo, hi = rc._halfplane_interval(ux * ox_ + uy * oy_,
+                                                ux * dx_ + uy * dy_, cc)
+                lo_a = jnp.maximum(lo_a, lo)
+                hi_a = jnp.minimum(hi_a, hi)
+            qia, qib, qact = quad
+            qox, qoy = ox_ * qia, oy_ * qib
+            qdx, qdy = dx_ * qia, dy_ * qib
+            qa = jnp.maximum(qdx * qdx + qdy * qdy, 1e-9)
+            qb = qox * qdx + qoy * qdy
+            qc = qox * qox + qoy * qoy - 1.0
+            q_lo, q_hi = rc._quadratic_interval(qa, qb, qc)
+            lo_a = jnp.maximum(lo_a, jnp.where(qact > 0.5, q_lo, -rc.BIG))
+            hi_a = jnp.minimum(hi_a, jnp.where(qact > 0.5, q_hi, rc.BIG))
+            return lo_a, hi_a
+
+        # plug prism (plug frame) and socket hole section (socket frame)
+        p_lo, p_hi = packed_iv(opx, opy, dpx, dpy, hp_p, quad_p)
+        h_lo, h_hi = packed_iv(osx, osy, dsx, dsy, hp_h, quad_h)
         z_lo, z_hi = rc._slab_interval(opz, dpz, jnp.zeros_like(plen), plen)
         t_in = jnp.maximum(jnp.maximum(p_lo, z_lo), 0.0)
         t_p = jnp.where(t_in <= jnp.minimum(p_hi, z_hi), t_in, rc.BIG)
@@ -526,6 +628,10 @@ def camera_march_fused(
         wrist_cam = jnp.full((n, 3), -100.0, M_plug.dtype)
         hand_cam = jnp.full((n, 3), -101.0, M_plug.dtype)
 
+    from . import raycast as rc
+
+    hp_p, quad_p = rc.section_halfplanes(kind_onehot, plug_hx, plug_hy)
+    hp_h, quad_h = rc.section_halfplanes(kind_onehot, hole_hx, hole_hy)
     scal = jnp.concatenate(
         [
             M_plug.reshape(n, 9), o_plug, M_sock.reshape(n, 9), o_sock,
@@ -534,7 +640,9 @@ def camera_march_fused(
             hole_hx[:, None], hole_hy[:, None], socket_height[:, None],
             table_h[:, None],
             tips_cam.reshape(n, 9), wrist_cam, hand_cam,
-            jnp.zeros((n, LANE - 56), M_plug.dtype),
+            hp_p.reshape(n, 3 * rc.HP_SLOTS), quad_p,
+            hp_h.reshape(n, 3 * rc.HP_SLOTS), quad_h,
+            jnp.zeros((n, LANE - 98), M_plug.dtype),
         ],
         axis=1,
     )

@@ -133,15 +133,25 @@ def render_tactile(
         Rp = rot.quat_to_matrix(inv_q)                          # [N, 3, 3]
         M = jnp.einsum("nij,nfjk->nfik", Rp, cam_R).reshape(n * f, 3, 3)
         rep = lambda x: jnp.repeat(x, f, axis=0)
+        # gel mask flattened (padded pixels get 0: masked out in-kernel)
+        yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, cfg.height),
+                              jnp.linspace(-1, 1, cfg.width), indexing="ij")
+        mask_flat = ((xx ** 2 + yy ** 2) <= 1.0).astype(jnp.float32).reshape(hw)
+        if hw_pad > hw:
+            mask_flat = jnp.concatenate(
+                [mask_flat, jnp.zeros((hw_pad - hw,), mask_flat.dtype)])
         rgbh = rp.tactile_march_fused(
             M, o_p.reshape(n * f, 3), rep(kind_onehot), rep(plug_hx),
             rep(plug_hy), rep(plug_length), force.reshape(n * f),
             rays_flat, iters=cfg.march_iters, max_range=cfg.max_range,
             max_deformation=cfg.max_deformation, force_range=cfg.force_range,
             exact=(method == "exact"),
+            mask_flat=mask_flat, noise_key=noise_key, noise_std=noise_std,
+            glow=0.0 if cfg.diff else 0.15,
         )                                                        # [R, HW_pad, 3]
         img = rgbh[:, :hw].reshape(n, f, cfg.height, cfg.width, 3)
-        return _tactile_epilogue(cfg, img, noise_key, noise_std)
+        # pixel ops (mask/glow/noise/clip) already fused into the kernel
+        return _tactile_epilogue(cfg, img, None, 0.0, pixel_ops=False)
 
     # rays to world, then into the plug frame (XLA reference path)
     rays_w = jnp.einsum("nfij,hwj->nfhwi", cam_R, rays_c)
@@ -203,22 +213,26 @@ def render_tactile(
 
 
 def _tactile_epilogue(cfg: TactileConfig, img: jax.Array,
-                      noise_key, noise_std: float) -> jax.Array:
-    """Mask + background + noise + channel post-processing (shared by the
-    XLA and Pallas march paths)."""
-    # circular gel mask
-    yy, xx = jnp.meshgrid(
-        jnp.linspace(-1, 1, cfg.height), jnp.linspace(-1, 1, cfg.width), indexing="ij"
-    )
-    mask = (xx**2 + yy**2) <= 1.0
-    img = img * mask[..., None]
+                      noise_key, noise_std: float,
+                      pixel_ops: bool = True) -> jax.Array:
+    """Mask + background + noise + channel post-processing. The fused Pallas
+    path runs the pixel ops inside the kernel and calls with
+    pixel_ops=False (channel handling only)."""
+    if pixel_ops:
+        # circular gel mask
+        yy, xx = jnp.meshgrid(
+            jnp.linspace(-1, 1, cfg.height), jnp.linspace(-1, 1, cfg.width),
+            indexing="ij"
+        )
+        mask = (xx**2 + yy**2) <= 1.0
+        img = img * mask[..., None]
 
-    if not cfg.diff:
-        # add a dim static background glow instead of subtracting it
-        img = img + 0.15 * mask[..., None]
-    if noise_key is not None and noise_std > 0.0:
-        img = img + noise_std * jax.random.normal(noise_key, img.shape)
-    img = jnp.clip(img, 0.0, 1.0)
+        if not cfg.diff:
+            # add a dim static background glow instead of subtracting it
+            img = img + 0.15 * mask[..., None]
+        if noise_key is not None and noise_std > 0.0:
+            img = img + noise_std * jax.random.normal(noise_key, img.shape)
+        img = jnp.clip(img, 0.0, 1.0)
 
     if cfg.num_channels == 1:
         img = jnp.mean(img, axis=-1, keepdims=True)

@@ -187,3 +187,71 @@ def test_plug_hit_normal_interior_origins():
         # medial axis the argmax face can legitimately flip vs the smooth
         # blend — require strong agreement away from it
         assert (dot > 0.97).mean() > 0.9, (kind, (dot > 0.97).mean())
+
+
+def test_packed_section_matches_family_math():
+    """The packed halfplane+quadratic form (section_halfplanes +
+    packed_interval_normal / packed_inner_grad) reproduces the per-family
+    interval, entry-normal, and interior-gradient math on a mixed batch."""
+    rng = np.random.default_rng(7)
+    n = 384
+    kinds = rng.integers(0, 6, n)
+    onehot = jnp.eye(6)[kinds]
+    hx = jnp.asarray(rng.uniform(0.008, 0.03, n), jnp.float32)
+    hy = jnp.asarray(rng.uniform(0.008, 0.03, n), jnp.float32)
+    ox = jnp.asarray(rng.uniform(-0.08, 0.08, n), jnp.float32)
+    oy = jnp.asarray(rng.uniform(-0.08, 0.08, n), jnp.float32)
+    th = rng.uniform(0, 2 * np.pi, n)
+    dx = jnp.asarray(np.cos(th), jnp.float32)
+    dy = jnp.asarray(np.sin(th), jnp.float32)
+
+    hp, quad = rc.section_halfplanes(onehot, hx, hy)
+    lo_p, hi_p, nx_p, ny_p = rc.packed_interval_normal(ox, oy, dx, dy, hp, quad)
+    lo_r, hi_r = rc.section_interval(ox, oy, dx, dy, onehot, hx, hy)
+
+    # intervals agree where the section is actually hit (misses may differ in
+    # their ±BIG bookkeeping)
+    hit = (np.asarray(lo_r) <= np.asarray(hi_r)) & (np.abs(np.asarray(lo_r)) < 1.0)
+    assert hit.sum() > 100
+    np.testing.assert_allclose(np.asarray(lo_p)[hit], np.asarray(lo_r)[hit],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.minimum(hi_p, 10.0))[hit],
+        np.asarray(jnp.minimum(hi_r, 10.0))[hit], rtol=1e-4, atol=1e-6)
+
+    # entry normals agree (directions; packed magnitudes family-dependent)
+    s_lo = s_hi = snx = sny = None
+    for k, fn in enumerate(rc._SECTION_INTERVAL_NORMALS):
+        lo, hi, nx, ny = fn(ox, oy, dx, dy, hx, hy)
+        w = onehot[..., k]
+        if s_lo is None:
+            s_lo, snx, sny = w * lo, w * nx, w * ny
+        else:
+            s_lo, snx, sny = s_lo + w * lo, snx + w * nx, sny + w * ny
+    norm = lambda x, y: (np.asarray(x / jnp.sqrt(x * x + y * y + 1e-18)),
+                         np.asarray(y / jnp.sqrt(x * x + y * y + 1e-18)))
+    ax, ay = norm(nx_p, ny_p)
+    bx, by = norm(snx, sny)
+    dots = (ax * bx + ay * by)[hit]
+    assert (dots > 0.9999).mean() > 0.98, (dots.min(), (dots > 0.9999).mean())
+
+    # interior distance+gradient parity on points inside
+    pxi = jnp.asarray(rng.uniform(-0.02, 0.02, n), jnp.float32) * 0.5
+    pyi = jnp.asarray(rng.uniform(-0.02, 0.02, n), jnp.float32) * 0.5
+    d_p, gx_p, gy_p = rc.packed_inner_grad(pxi, pyi, hp, quad)
+    d_r = gx_r = gy_r = None
+    for k, fn in enumerate(rc._SECTION_INNER_GRADS):
+        dk, gxk, gyk = fn(pxi, pyi, hx, hy)
+        w = onehot[..., k]
+        if d_r is None:
+            d_r, gx_r, gy_r = w * dk, w * gxk, w * gyk
+        else:
+            d_r, gx_r, gy_r = d_r + w * dk, gx_r + w * gxk, gy_r + w * gyk
+    inside = np.asarray(d_r) < -1e-4
+    assert inside.sum() > 100
+    np.testing.assert_allclose(np.asarray(d_p)[inside], np.asarray(d_r)[inside],
+                               rtol=1e-3, atol=1e-5)
+    ax, ay = norm(gx_p, gy_p)
+    bx, by = norm(gx_r, gy_r)
+    dots = (ax * bx + ay * by)[inside]
+    assert (dots > 0.999).mean() > 0.97, (dots.min(), (dots > 0.999).mean())
