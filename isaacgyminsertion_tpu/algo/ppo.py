@@ -73,6 +73,14 @@ class PPOConfig:
     # evals within `anneal_margin` of the best don't count as declines
     # (finite-eval success noise: sigma ~ sqrt(p(1-p)/eval_envs))
     anneal_margin: float = 0.02
+    # Anchor regularizer (anti-collapse lever, no reference counterpart):
+    # when > 0, adds anchor_coef * KL(π_new ‖ π_anchor) to the loss, where
+    # π_anchor is a frozen policy snapshot carried in PPOState.anchor_params
+    # (initialized to the starting params; the trainer re-points it at the
+    # banked best-eval policy on every new eval best / ladder restore). This
+    # bounds post-peak drift from the peak policy instead of merely rewinding
+    # to it, so fine-tune phases can keep exploring without forgetting.
+    anchor_coef: float = 0.0
     value_bootstrap: bool = True
     normalize_input: bool = True
     normalize_value: bool = True
@@ -94,6 +102,8 @@ class PPOState(NamedTuple):
     rng: jax.Array
     epoch: jax.Array        # scalar i32
     agent_steps: jax.Array  # scalar i64-ish f32
+    # frozen policy snapshot for the anchor-KL loss (None when anchor_coef=0)
+    anchor_params: Any = None
 
 
 class Transition(NamedTuple):
@@ -150,6 +160,7 @@ def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rn
         rng=k_train,
         epoch=jnp.zeros((), jnp.int32),
         agent_steps=jnp.zeros((), jnp.float32),
+        anchor_params=params if ppo_cfg.anchor_coef > 0 else None,
     )
     train_epoch = make_train_epoch(cfg_task, ppo_cfg, model, subs, net, tx,
                                    grasp_data=grasp_data)
@@ -290,7 +301,17 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
                 + b_loss * ppo_cfg.bounds_loss_coef
             )
             kl = policy_kl(mu, jnp.exp(log_std) * jnp.ones_like(mu), mb["mu"], mb["sigma"])
-            return loss, {"a_loss": a_loss, "c_loss": c_loss, "b_loss": b_loss, "kl": kl}
+            aux = {"a_loss": a_loss, "c_loss": c_loss, "b_loss": b_loss, "kl": kl}
+            if ppo_cfg.anchor_coef > 0:
+                mu_a, log_std_a, _, _, _ = net.apply(state.anchor_params, o, p)
+                kl_anchor = policy_kl(
+                    mu, jnp.exp(log_std) * jnp.ones_like(mu),
+                    jax.lax.stop_gradient(mu_a),
+                    jnp.exp(log_std_a) * jnp.ones_like(mu_a),
+                )
+                loss = loss + ppo_cfg.anchor_coef * kl_anchor
+                aux["kl_anchor"] = kl_anchor
+            return loss, aux
 
         def mb_update(carry, idx):
             params, opt_state = carry
@@ -342,6 +363,7 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
             rng=rng,
             epoch=state.epoch + 1,
             agent_steps=state.agent_steps + ppo_cfg.horizon * n_envs,
+            anchor_params=state.anchor_params,
         )
         return new_state, metrics
 

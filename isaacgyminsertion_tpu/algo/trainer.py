@@ -79,10 +79,17 @@ class PPOTrainer:
         self.episode_success = AverageScalarMeter()
         # evals always run the TRUE clearance distribution: a fresh eval env
         # resets at global_step 0, where an active clearance curriculum would
-        # hand out its loosest holes and inflate the success rate
+        # hand out its loosest holes and inflate the success rate. They also
+        # run single-episode (no failure-retry resets): when training uses
+        # reset_at_fails=True, a degrasped eval env would otherwise reset and
+        # retry inside the 500-step window, inflating the gate vs the
+        # authoritative `test=True` convention (reference eval disables
+        # resets, frozen_ppo.py:727-789).
         import dataclasses as _dc
-        eval_cfg = cfg_task.replace(randomize=_dc.replace(
-            cfg_task.randomize, clearance_curriculum_extra=0.0))
+        eval_cfg = cfg_task.replace(
+            reset_at_fails=False, reset_at_success=False,
+            randomize=_dc.replace(
+                cfg_task.randomize, clearance_curriculum_extra=0.0))
         self.eval_fn = make_eval_fn(eval_cfg, model, subs, self.net,
                                     eval_envs or min(n_envs, 64))
         self.eval_freq_steps = eval_freq_steps
@@ -110,6 +117,9 @@ class PPOTrainer:
             params=tree["params"], obs_rms=tree["obs_rms"],
             priv_rms=tree["priv_rms"], value_rms=tree["value_rms"],
         )
+        if self.ppo_cfg.anchor_coef > 0:
+            # fine-tune phases anchor to the restored (banked-best) policy
+            self.state = self.state._replace(anchor_params=tree["params"])
 
     def train(self, max_epochs: int | None = None, save_freq: int = 100,
               log_freq: int = 1):
@@ -170,6 +180,9 @@ class PPOTrainer:
             self._best_eval = sr
             self._best_tree = jax.device_get(self._ckpt_tree())
             self._decline = 0
+            if self.ppo_cfg.anchor_coef > 0:
+                # the anchor tracks the best-eval policy, not the start
+                self.state = self.state._replace(anchor_params=self.state.params)
             return
         if sr >= self._best_eval - self.ppo_cfg.anneal_margin:
             return  # within eval noise of the best: not a decline
@@ -187,6 +200,8 @@ class PPOTrainer:
             value_rms=jax.tree_util.tree_map(jnp.asarray, t["value_rms"]),
             opt_state=self.tx.init(params),
         )
+        if self.ppo_cfg.anchor_coef > 0:
+            self.state = self.state._replace(anchor_params=params)
         self._cur_lr = max(self._cur_lr * self.ppo_cfg.anneal_decay,
                            self.ppo_cfg.anneal_min_lr)
         self._set_lr(self._cur_lr)

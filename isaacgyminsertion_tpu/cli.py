@@ -102,6 +102,7 @@ _KEYMAP = {
     "train.ppo.anneal_patience": ("ppo", "anneal_patience"),
     "train.ppo.anneal_min_lr": ("ppo", "anneal_min_lr"),
     "train.ppo.anneal_margin": ("ppo", "anneal_margin"),
+    "train.ppo.anchor_coef": ("ppo", "anchor_coef"),
     "train.ppo.value_bootstrap": ("ppo", "value_bootstrap"),
     "train.ppo.normalize_input": ("ppo", "normalize_input"),
     "train.ppo.normalize_value": ("ppo", "normalize_value"),

@@ -72,6 +72,36 @@ def test_ppo_epoch_improves_nothing_breaks():
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_anchor_kl_bounds_policy_drift():
+    """PPOConfig.anchor_coef: the anchor-KL term keeps the trained policy
+    measurably closer to the frozen anchor than an unanchored run from the
+    same seed, and the metric is reported."""
+
+    def drift(anchor_coef):
+        ppo_cfg = ppo_mod.PPOConfig(horizon=8, mini_epochs=2,
+                                    learning_rate=5e-3, anchor_coef=anchor_coef)
+        net, tx, state, train_epoch = ppo_mod.build(
+            CFG, ppo_cfg, MODEL, SUBS, N, jax.random.PRNGKey(3)
+        )
+        start = jax.device_get(state.params)
+        train_epoch = jax.jit(train_epoch)
+        for _ in range(2):
+            state, metrics = train_epoch(state)
+        end = jax.device_get(state.params)
+        d = sum(
+            float(np.sum((a - b) ** 2))
+            for a, b in zip(jax.tree_util.tree_leaves(start),
+                            jax.tree_util.tree_leaves(end))
+        )
+        return d, metrics
+
+    d_free, m_free = drift(0.0)
+    d_anch, m_anch = drift(50.0)
+    assert "kl_anchor" not in m_free
+    assert np.isfinite(float(m_anch["kl_anchor"]))
+    assert d_anch < d_free
+
+
 def test_anneal_ladder_restores_best_and_decays_lr(tmp_path):
     """PPOConfig.anneal_ladder: after `patience` declining evals the trainer
     restores the best-eval params and multiplies the LR by `anneal_decay`."""
