@@ -130,7 +130,9 @@ class TrajectoryDataset:
         for fi, path in enumerate(self.files):
             with open_traj(path) as d:
                 traj = {k: np.asarray(d[k]) for k in keys if k in d}
-                done_idx = int(d["done_idx"]) if "done_idx" in d else len(next(iter(traj.values()))) - 1
+                done_idx = (int(np.asarray(d["done_idx"]).reshape(-1)[0])
+                            if "done_idx" in d
+                            else len(next(iter(traj.values()))) - 1)
             if tactile_diff and "tactile" in traj:
                 ref = traj["tactile"][min(1, len(traj["tactile"]) - 1)]
                 traj["tactile"] = (traj["tactile"].astype(np.float32)
