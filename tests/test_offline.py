@@ -37,7 +37,7 @@ def test_collect_then_offline_train(tmp_path):
     with open_traj(files[0]) as d:
         assert "student_obs" in d and "actions" in d and "latent" in d
         assert d["student_obs"].shape[-1] == 15 and d["actions"].shape[-1] == 6
-        assert int(np.asarray(d["done_idx"])) >= 1
+        assert int(np.asarray(d["done_idx"]).ravel()[0]) >= 1
 
     stats = DataNormalizer(data_dir).run()
     assert "student_obs" in stats
