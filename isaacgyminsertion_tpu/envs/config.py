@@ -82,6 +82,14 @@ class EnvConfig:
     socket_rot_obs_noise: tuple = (0.0, 0.0, 0.0)
     socket_base_height: float = 0.003
     plug_grasp_threshold: float = 0.01
+    # render-on-demand: when < 1.0, each step renders tactile/camera frames
+    # only for a gathered subset of ceil(capacity·N) envs, prioritized by
+    # whether the env consumes a fresh frame this step (decimation refresh ∧
+    # delay draw). With max_skip=2 an expected 0.675 of envs consume per step,
+    # so 0.75 loses nothing; consumers beyond capacity (vanishing binomial
+    # tail) keep their stale frame. 1.0 = render all envs (reference
+    # semantics; frames that miss the refresh window are discarded).
+    render_capacity: float = 1.0
     # modality flags
     tactile: bool = False
     compute_contact_gt: bool = False

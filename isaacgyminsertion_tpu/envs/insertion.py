@@ -880,6 +880,28 @@ def step(
     tactile_queue = state.tactile_queue
     img_queue, seg_queue, pcl_queue = state.img_queue, state.seg_queue, state.pcl_queue
     contact_queue = state.contact_queue
+
+    # render-on-demand (EnvConfig.render_capacity < 1): the decimation/delay
+    # pipeline discards most frames it never consumes, so instead of rendering
+    # all N envs and masking, gather the ceil(capacity·N) env rows that will
+    # consume a fresh frame this step (lowest priority rank first), render
+    # only those, and scatter the frames back into the queues. Consumers past
+    # capacity (vanishing binomial tail when capacity ≥ the expected consume
+    # fraction, except in a mass-reset burst) keep their stale frame one more
+    # step; the tie-break rotates with global_step so a burst of equal-rank
+    # rows (e.g. every env in its post-reset initial window) drains across
+    # consecutive steps instead of starving the high indices forever.
+    use_sel = 0.0 < cfg.env.render_capacity < 1.0
+
+    def _render_sel(prio):
+        k = min(n, max(8, -(-int(cfg.env.render_capacity * n) // 8) * 8))
+        rotate = (jnp.arange(n) + state.global_step * 7919) % n
+        return jnp.argsort(prio.astype(jnp.int32) * n + rotate)[:k]
+
+    def _scatter_latest(sel, upd, new_rows, prev):
+        rows = _where(upd[sel], new_rows, prev[sel])
+        return prev.at[sel].set(rows)
+
     if cfg.env.tactile:
         kt1, kt2 = jax.random.split(k_tact)
         t_refresh = ((frame + state.tactile_refresh_offset) % state.tactile_refresh_rate) == 0
@@ -890,12 +912,14 @@ def step(
         # the reference's AllSightRenderer(scale=fix_scale)
         # (factory_env_insertion.py:1045-1052)
         psc = state.params.plug_scale
+        sel_t = _render_sel(jnp.where(t_upd, 0, 1)) if use_sel else None
+        gt = (lambda x: x[sel_t]) if use_sel else (lambda x: x)
         timg = tact_mod.render_tactile(
-            tcfg, tip_q3, tip_t3, phys.plug_quat, phys.plug_pos,
-            state.params.kind_onehot, state.params.plug_hx * psc,
-            state.params.plug_hy * psc,
-            state.params.plug_length * psc, finger_forces_ema, noise_key=kt2,
-            noise_std=0.01,
+            tcfg, gt(tip_q3), gt(tip_t3), gt(phys.plug_quat), gt(phys.plug_pos),
+            gt(state.params.kind_onehot), gt(state.params.plug_hx * psc),
+            gt(state.params.plug_hy * psc),
+            gt(state.params.plug_length * psc), gt(finger_forces_ema),
+            noise_key=kt2, noise_std=0.01,
         )
         if gan_params is not None:
             # CycleGAN sim→real on the rendered frames (reference
@@ -906,46 +930,66 @@ def step(
             flat = timg.reshape((nf,) + timg.shape[2:]) * 2.0 - 1.0
             out_g = ResnetGenerator().apply(gan_params, flat)
             timg = (out_g.reshape(timg.shape) + 1.0) * 0.5
-        latest = _where(t_upd, timg, state.tactile_queue[:, 0])
+        if use_sel:
+            latest = _scatter_latest(sel_t, t_upd, timg, state.tactile_queue[:, 0])
+        else:
+            latest = _where(t_upd, timg, state.tactile_queue[:, 0])
         tactile_queue = jnp.concatenate(
             [latest[:, None], state.tactile_queue[:, :-1]], axis=1
         )
     if cfg.env.external_cam:
         ki1, ki2, ki3, ki4 = jax.random.split(k_img, 4)
         ccfg = cam_mod.CameraConfig()
+        i_refresh = ((frame + state.img_refresh_offset) % state.img_refresh_rate) == 0
+        initial = progress < 10
+        i_upd = i_refresh & (initial | (jax.random.uniform(ki2, (n,)) > cfg.env.img_delay_prob))
+        s_upd = i_refresh & (initial | (jax.random.uniform(ki3, (n,)) > cfg.env.seg_delay_prob))
+        # one gathered row set serves depth+seg+pcl (all consume on i_refresh);
+        # `initial` rows rank first — they must render at least once inside the
+        # 10-step post-reset window for the frozen socket-pcl capture
+        sel_c = (
+            _render_sel(jnp.where(initial, 0, jnp.where(i_refresh, 1, 2)))
+            if use_sel else None
+        )
+        gc = (lambda x: x[sel_c]) if use_sel else (lambda x: x)
         # the descending hand occludes the scene in the reference's depth/seg
         # frames (kuka actor seg id 1, factory_env_insertion.py:814-848):
         # proxy it as 3 fingertip spheres + a wrist→hand capsule
         cam_tips = engine.fingertip_poses(model, fk2)[1]
         cam_wrist = fk2.body_t[..., 6, :]
         depth_n, seg_im, depth_raw = cam_mod.render_depth_seg(
-            ccfg, phys.plug_quat, phys.plug_pos, state.params.socket_quat,
-            state.params.socket_pos, state.params.kind_onehot, state.params.plug_hx,
-            state.params.plug_hy, state.params.plug_length, state.params.hole_hx,
-            state.params.hole_hy, state.params.socket_height, state.params.table_height,
+            ccfg, gc(phys.plug_quat), gc(phys.plug_pos), gc(state.params.socket_quat),
+            gc(state.params.socket_pos), gc(state.params.kind_onehot),
+            gc(state.params.plug_hx), gc(state.params.plug_hy),
+            gc(state.params.plug_length), gc(state.params.hole_hx),
+            gc(state.params.hole_hy), gc(state.params.socket_height),
+            gc(state.params.table_height),
             noise_key=ki1,
-            tip_pos=cam_tips, wrist_pos=cam_wrist, hand_pos=ftc_t2,
+            tip_pos=gc(cam_tips), wrist_pos=gc(cam_wrist), hand_pos=gc(ftc_t2),
         )
-        i_refresh = ((frame + state.img_refresh_offset) % state.img_refresh_rate) == 0
-        initial = progress < 10
-        i_upd = i_refresh & (initial | (jax.random.uniform(ki2, (n,)) > cfg.env.img_delay_prob))
-        s_upd = i_refresh & (initial | (jax.random.uniform(ki3, (n,)) > cfg.env.seg_delay_prob))
         if cfg.env.depth_cam:
-            latest_img = _where(i_upd, depth_n, state.img_queue[:, 0])
+            if use_sel:
+                latest_img = _scatter_latest(sel_c, i_upd, depth_n, state.img_queue[:, 0])
+            else:
+                latest_img = _where(i_upd, depth_n, state.img_queue[:, 0])
             img_queue = jnp.concatenate([latest_img[:, None], state.img_queue[:, :-1]], axis=1)
         if cfg.env.seg_cam:
             kns, knp = jax.random.split(ki4)
+            nr = seg_im.shape[0]
             seg_noisy = jnp.where(
-                (~initial & (jax.random.uniform(kns, (n,)) > 1 - cfg.env.seg_prob_noise))[:, None, None],
+                (gc(~initial) & (jax.random.uniform(kns, (nr,)) > 1 - cfg.env.seg_prob_noise))[:, None, None],
                 cam_mod.seg_noise(seg_im, kns, cfg.env.seg_prob_noise), seg_im,
             ).astype(jnp.float32)
-            latest_seg = _where(s_upd, seg_noisy, state.seg_queue[:, 0])
+            if use_sel:
+                latest_seg = _scatter_latest(sel_c, s_upd, seg_noisy, state.seg_queue[:, 0])
+            else:
+                latest_seg = _where(s_upd, seg_noisy, state.seg_queue[:, 0])
             seg_queue = jnp.concatenate([latest_seg[:, None], state.seg_queue[:, :-1]], axis=1)
         if cfg.env.pcl_cam:
             kp1, kp2 = jax.random.split(k_pcl)
-            dense = jnp.asarray(subs.dense_points)[state.sub_idx]
-            goal_pts = state.params.socket_pos[:, None, :] + rot.quat_apply(
-                state.params.socket_quat[:, None, :], dense
+            dense = jnp.asarray(subs.dense_points)[gc(state.sub_idx)]
+            goal_pts = gc(state.params.socket_pos)[:, None, :] + rot.quat_apply(
+                gc(state.params.socket_quat)[:, None, :], dense
             )
             merged = pcl_mod.assemble_scene_pcl(
                 ccfg, depth_raw, seg_im, goal_pts, kp1,
@@ -962,13 +1006,17 @@ def step(
                 # factory_task_insertion.py socket-pcl capture semantics
                 s0 = cfg.env.num_points
                 s1 = s0 + cfg.env.num_points_socket
-                prev_sock = state.pcl_queue[:, 0, s0:s1]
+                prev_sock = gc(state.pcl_queue[:, 0, s0:s1])
                 merged = merged.at[:, s0:s1].set(
-                    _where(initial, merged[:, s0:s1], prev_sock)
+                    _where(gc(initial), merged[:, s0:s1], prev_sock)
                 )
-            p_noise_on = ~initial & (jax.random.uniform(kp2, (n,)) > 1 - cfg.env.pcl_prob_noise)
+            p_noise_on = gc(~initial) & (
+                jax.random.uniform(kp2, (merged.shape[0],)) > 1 - cfg.env.pcl_prob_noise)
             merged = pcl_mod.augment_pcl(merged, kp2, pcl_mod.PclAugmentConfig(), p_noise_on)
-            latest_pcl = _where(i_upd, merged, state.pcl_queue[:, 0])
+            if use_sel:
+                latest_pcl = _scatter_latest(sel_c, i_upd, merged, state.pcl_queue[:, 0])
+            else:
+                latest_pcl = _where(i_upd, merged, state.pcl_queue[:, 0])
             pcl_queue = jnp.concatenate([latest_pcl[:, None], state.pcl_queue[:, :-1]], axis=1)
     if cfg.env.compute_contact_gt:
         dense = jnp.asarray(subs.dense_points)[state.sub_idx]

@@ -193,3 +193,67 @@ def test_camera_sees_robot_hand():
         sh["hole_hy"], sh["socket_height"], jnp.full((N,), 0.001),
     )
     assert (np.asarray(seg0) == cam_mod.SEG_KUKA).sum() == 0
+
+
+def test_render_on_demand_matches_full_render():
+    """EnvConfig.render_capacity < 1 gathers only frame-consuming envs through
+    the renderers. Rows that rendered in BOTH paths must agree up to the
+    independent per-pixel noise draw; rows the capacity dropped must hold their
+    stale frame bit-exactly; and every env must still capture its frozen
+    socket-pcl slice inside the post-reset initial window (the rotating
+    tie-break drains the reset burst across steps)."""
+    n = 32
+    cfg0 = default_task_config()
+    senv = dict(tactile=True, external_cam=True, depth_cam=True, seg_cam=True,
+                pcl_cam=True)
+    cfg_full = cfg0.replace(env=dataclasses.replace(cfg0.env, **senv))
+    cfg_sel = cfg0.replace(
+        env=dataclasses.replace(cfg0.env, render_capacity=0.75, **senv))
+
+    state0 = insertion.reset_all(cfg_full, MODEL, SUBS, jax.random.PRNGKey(9), n)
+    step_full = jax.jit(lambda s, a: insertion.step(cfg_full, MODEL, SUBS, s, a))
+    step_sel = jax.jit(lambda s, a: insertion.step(cfg_sel, MODEL, SUBS, s, a))
+
+    def fresh_rows(q_new, q_prev):
+        # a row is fresh iff its latest frame changed this step
+        axes = tuple(range(1, q_new.ndim - 1))
+        return jnp.any(q_new[:, 0] != q_prev[:, 0], axis=axes)
+
+    sf = ss = state0
+    any_stale = False
+    for i in range(12):
+        a = jnp.zeros((n, 6))
+        prev_f, prev_s = sf, ss
+        sf, of = step_full(sf, a)
+        ss, os_ = step_sel(ss, a)
+        # same rng stream → identical refresh/delay decisions; the sel path
+        # renders a capacity-bounded subset of the full path's consumers
+        for name, qf, qs, qfp, qsp in [
+            ("tactile", sf.tactile_queue, ss.tactile_queue,
+             prev_f.tactile_queue, prev_s.tactile_queue),
+            ("depth", sf.img_queue, ss.img_queue,
+             prev_f.img_queue, prev_s.img_queue),
+        ]:
+            f_full = fresh_rows(qf, qfp)
+            f_sel = fresh_rows(qs, qsp)
+            # sel never renders a row the full path didn't consume
+            assert not bool(jnp.any(f_sel & ~f_full)), f"step {i}: {name}"
+            both = f_sel & f_full
+            # both-fresh rows differ only by the independent noise draws
+            diff = jnp.abs(qs[:, 0] - qf[:, 0])
+            diff = diff.reshape(n, -1).max(axis=1)
+            assert bool(jnp.all(jnp.where(both, diff, 0.0) < 0.15)), (
+                f"step {i}: {name} mismatch beyond noise")
+            any_stale |= bool(jnp.any(f_full & ~f_sel))
+        for leaf in [ss.tactile_queue, ss.img_queue, ss.seg_queue, ss.pcl_queue]:
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+    # capacity must actually have held some frames back at some step
+    assert any_stale
+    # frozen socket-pcl coverage: even though the step-0 initial burst (all 32
+    # envs) exceeds the 24-row capacity, the rotating tie-break must have
+    # rendered every env at least once within its 10-step initial window
+    s0 = cfg0.env.num_points
+    s1 = s0 + cfg0.env.num_points_socket
+    sock = ss.pcl_queue[:, 0, s0:s1]
+    assert bool(jnp.all(jnp.any(sock != 0.0, axis=(1, 2)))), (
+        "an env missed its frozen socket capture")
