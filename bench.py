@@ -69,8 +69,13 @@ def main(n_ns=8192, n_so=1024, horizon=64):
     # north star: 8192 envs, tactile + depth(+seg) cameras on. If the chip
     # can't take the full batch (HBM, or a transient backend fault), degrade
     # to the largest sensors-on batch that runs rather than reporting nothing.
+    # render_capacity=0.75: render-on-demand gathers only the env rows that
+    # consume a fresh frame this step (expected consume fraction 0.675 with
+    # max_skip=2 + delay 0.1); what the policy observes is unchanged up to the
+    # vanishing binomial tail, so this is the honest sensors-on number.
     cfg_ns = base.replace(env=dataclasses.replace(
-        base.env, tactile=True, external_cam=True, depth_cam=True, seg_cam=True))
+        base.env, tactile=True, external_cam=True, depth_cam=True,
+        seg_cam=True, render_capacity=0.75))
     rate_ns = mfu_ns = 0.0
     for n_try in (n_ns, n_ns // 2, n_ns // 4):
         try:
@@ -95,7 +100,8 @@ def main(n_ns=8192, n_so=1024, horizon=64):
         "vs_baseline": round(rate_ns / ASSUMED_A100_BASELINE, 3),
         f"state_only_{n_so}": round(rate_so, 1),
         "mfu_estimate": round(mfu_ns, 4),
-        "config": f"{n_ns} envs, tactile 3x64x64 + depth/seg 96x54, horizon {horizon}",
+        "config": f"{n_ns} envs, tactile 3x64x64 + depth/seg 96x54, "
+                  f"render_capacity 0.75, horizon {horizon}",
     }))
 
 
