@@ -4,4 +4,5 @@ python train.py train.algo=ExtrinsicAdapt checkpoint=${CKPT:-outputs/teacher/bes
   task.env.numEnvs=${NUM_ENVS:-256} \
   task.external_cam.external_cam=True task.external_cam.seg_cam=True task.external_cam.pcl_cam=True \
   train.ppo.pcl_info=True train.ppo.seg_info=True \
+  task.env.render_capacity=${RENDER_CAPACITY:-0.75} \
   output=outputs/student "$@"
