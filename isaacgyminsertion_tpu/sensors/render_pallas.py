@@ -25,6 +25,7 @@ BLOCK_R rows per program.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,15 @@ from ..ops.sdf import TRAPEZOID_TOP_RATIO
 
 LANE = 128
 BLOCK_R = 8
+
+
+def _block_r(override: int | None = None) -> int:
+    """Rows per program. Overridable per-call or via IGT_RENDER_BLOCK_R for
+    on-chip autotuning (tools/autotune_render.py); output is identical for
+    any value — it only changes the grid/VMEM tiling."""
+    if override is not None:
+        return int(override)
+    return int(os.environ.get("IGT_RENDER_BLOCK_R", BLOCK_R))
 
 
 def _pad_axis(x, size, axis, value=0.0):
@@ -364,6 +374,7 @@ def tactile_march_fused(
     noise_key: jax.Array | None = None,
     noise_std: float = 0.0,
     glow: float = 0.0,
+    block_r: int | None = None,
 ) -> jax.Array:
     """Returns FINAL RGB planes [R, HW, 3] (mask, glow, noise, clip fused).
 
@@ -375,7 +386,8 @@ def tactile_march_fused(
     to XLA threefry under interpret mode where that primitive is missing."""
     rr, hw = M.shape[0], rays_c.shape[0]
     assert hw % LANE == 0, "pad pixel count to a lane multiple"
-    r_pad = ((rr + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
+    br = _block_r(block_r)
+    r_pad = ((rr + br - 1) // br) * br
 
     from . import raycast as rc
 
@@ -408,7 +420,7 @@ def tactile_march_fused(
     else:
         seed = jnp.zeros((1,), jnp.int32)
 
-    grid = (r_pad // BLOCK_R,)
+    grid = (r_pad // br,)
     kernel = functools.partial(
         _tactile_kernel, iters=iters, max_range=max_range,
         max_deformation=max_deformation, force_range=force_range, t0=t0,
@@ -416,12 +428,12 @@ def tactile_march_fused(
         noise_std=noise_std if in_kernel_noise else 0.0,
         clip_out=not (want_noise and not in_kernel_noise),
     )
-    plane = pl.BlockSpec((BLOCK_R, hw), lambda i: (i, 0))
+    plane = pl.BlockSpec((br, hw), lambda i: (i, 0))
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0)),
+            pl.BlockSpec((br, LANE), lambda i: (i, 0)),
             pl.BlockSpec((3, hw), lambda i: (0, 0)),
             pl.BlockSpec((1, hw), lambda i: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -613,6 +625,7 @@ def camera_march_fused(
     tip_radius: float = 0.018, hand_radius: float = 0.045,
     interpret: bool | None = None,
     exact: bool = False,
+    block_r: int | None = None,
 ):
     """Returns (t_hit, d_min, comp) planes [N, HW_pad]; comp ∈ {0 table,
     1 plug, 2 socket, 3 kuka} as float. `exact=True` replaces the march with
@@ -620,7 +633,8 @@ def camera_march_fused(
     it, d_min is 0.0 on hit / 1.0 on miss)."""
     n, hw = M_plug.shape[0], rays_c.shape[0]
     assert hw % LANE == 0
-    n_pad = ((n + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
+    br = _block_r(block_r)
+    n_pad = ((n + br - 1) // br) * br
 
     if tips_cam is None:
         # park the proxy robot far behind the camera: never hit
@@ -654,18 +668,18 @@ def camera_march_fused(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
-    grid = (n_pad // BLOCK_R,)
+    grid = (n_pad // br,)
     kernel = functools.partial(
         _camera_kernel, iters=iters, near=near, far=far,
         plate_hx=plate_hx, plate_hy=plate_hy,
         tip_radius=tip_radius, hand_radius=hand_radius, exact=exact,
     )
-    plane = pl.BlockSpec((BLOCK_R, hw), lambda i: (i, 0))
+    plane = pl.BlockSpec((br, hw), lambda i: (i, 0))
     t_hit, dmin, comp = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0)),
+            pl.BlockSpec((br, LANE), lambda i: (i, 0)),
             pl.BlockSpec((3, hw), lambda i: (0, 0)),
         ],
         out_specs=[plane] * 3,
