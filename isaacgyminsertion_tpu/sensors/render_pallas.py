@@ -198,7 +198,7 @@ def _tactile_kernel(scal, rays, mask, seed, r_out, g_out, b_out, *,
                     iters: int, max_range: float, max_deformation: float,
                     force_range: float, t0: float, exact: bool = False,
                     noise_std: float = 0.0, glow: float = 0.0,
-                    clip_out: bool = True):
+                    clip_out: bool = True, noise_kind: str = "gauss"):
     S = scal[...]
     c = lambda i: S[:, i:i + 1]
     m = [c(i) for i in range(9)]                     # camera→plug rotation
@@ -337,17 +337,31 @@ def _tactile_kernel(scal, rays, mask, seed, r_out, g_out, b_out, *,
     if noise_std > 0.0:
         pltpu.prng_seed(seed[0], pl.program_id(0))
 
-        def gauss_pair():
-            b1 = pltpu.prng_random_bits(r.shape)
-            b2 = pltpu.prng_random_bits(r.shape)
-            u1 = (b1 >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24) + 1e-7
-            u2 = (b2 >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24)
-            rad = jnp.sqrt(-2.0 * jnp.log(u1))
-            ang = (2.0 * 3.141592653589793) * u2
-            return rad * jnp.cos(ang), rad * jnp.sin(ang)
+        if noise_kind == "ih4":
+            # Irwin-Hall(4): sum of 4 uniforms, recentered/rescaled to unit
+            # variance — transcendental-free (Box-Muller's log/sqrt/cos/sin
+            # are multi-cycle VPU ops). Tails bounded at ±3.46σ; fine for
+            # px-level DR noise, opt-in via IGT_TACTILE_NOISE=ih4.
+            def gauss():
+                s = jnp.zeros_like(r)
+                for _ in range(4):
+                    bits = pltpu.prng_random_bits(r.shape)
+                    s = s + (bits >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24)
+                return (s - 2.0) * 1.7320508075688772
 
-        g1, g2 = gauss_pair()
-        g3, _ = gauss_pair()
+            g1, g2, g3 = gauss(), gauss(), gauss()
+        else:
+            def gauss_pair():
+                b1 = pltpu.prng_random_bits(r.shape)
+                b2 = pltpu.prng_random_bits(r.shape)
+                u1 = (b1 >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24) + 1e-7
+                u2 = (b2 >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24)
+                rad = jnp.sqrt(-2.0 * jnp.log(u1))
+                ang = (2.0 * 3.141592653589793) * u2
+                return rad * jnp.cos(ang), rad * jnp.sin(ang)
+
+            g1, g2 = gauss_pair()
+            g3, _ = gauss_pair()
         r = r + noise_std * g1
         g = g + noise_std * g2
         b = b + noise_std * g3
@@ -375,6 +389,7 @@ def tactile_march_fused(
     noise_std: float = 0.0,
     glow: float = 0.0,
     block_r: int | None = None,
+    noise_kind: str | None = None,
 ) -> jax.Array:
     """Returns FINAL RGB planes [R, HW, 3] (mask, glow, noise, clip fused).
 
@@ -420,6 +435,8 @@ def tactile_march_fused(
     else:
         seed = jnp.zeros((1,), jnp.int32)
 
+    if noise_kind is None:
+        noise_kind = os.environ.get("IGT_TACTILE_NOISE", "gauss")
     grid = (r_pad // br,)
     kernel = functools.partial(
         _tactile_kernel, iters=iters, max_range=max_range,
@@ -427,6 +444,7 @@ def tactile_march_fused(
         exact=exact, glow=glow,
         noise_std=noise_std if in_kernel_noise else 0.0,
         clip_out=not (want_noise and not in_kernel_noise),
+        noise_kind=noise_kind,
     )
     plane = pl.BlockSpec((br, hw), lambda i: (i, 0))
     r, g, b = pl.pallas_call(

@@ -63,22 +63,44 @@ def main(n_envs=8192):
     M, o, kind, hx, hy, length, force, rays = tactile_inputs(rows)
     key = jax.random.PRNGKey(1)
 
-    def tact(block_r, noise_std):
+    def tact(block_r, noise_std, noise_kind="gauss"):
         f = jax.jit(lambda *a: rp.tactile_march_fused(
             *a, iters=24, max_range=0.022, max_deformation=0.002,
             force_range=60.0, exact=True, noise_key=key, noise_std=noise_std,
-            glow=0.15, block_r=block_r))
+            glow=0.15, block_r=block_r, noise_kind=noise_kind))
         return _time(f, M, o, kind, hx, hy, length, force, rays)
 
     base = None
     for br in (8, 16, 32, 64):
         dt = tact(br, 0.01)
+        dtf = tact(br, 0.01, "ih4")
         dt0 = tact(br, 0.0)
         if br == 8:
             base = dt
-        print(f"tactile block_r={br:>2}: noise-on {dt*1e3:7.2f} ms  "
-              f"noise-off {dt0*1e3:7.2f} ms  (noise {100*(dt-dt0)/dt:4.1f}%"
-              f", vs br8 {base/dt:4.2f}x)")
+        print(f"tactile block_r={br:>2}: gauss {dt*1e3:7.2f} ms  "
+              f"ih4 {dtf*1e3:7.2f} ms  noise-off {dt0*1e3:7.2f} ms  "
+              f"(gauss-noise {100*(dt-dt0)/dt:4.1f}%, vs br8 {base/dt:4.2f}x)")
+
+    if jax.default_backend() == "tpu":
+        # ih4 sampler statistics (in-kernel path only exists on real TPU):
+        # noise = img_on - img_off at matched seeds should be ~N(0, std²)
+        f_on = rp.tactile_march_fused(
+            M, o, kind, hx, hy, length, force, rays, iters=24,
+            max_range=0.022, max_deformation=0.002, force_range=60.0,
+            exact=True, noise_key=key, noise_std=0.05, glow=0.15,
+            noise_kind="ih4", mask_flat=jnp.ones((rays.shape[0],)))
+        f_off = rp.tactile_march_fused(
+            M, o, kind, hx, hy, length, force, rays, iters=24,
+            max_range=0.022, max_deformation=0.002, force_range=60.0,
+            exact=True, glow=0.15, mask_flat=jnp.ones((rays.shape[0],)))
+        d = (f_on - jnp.clip(f_off, 0.0, 1.0))
+        # avoid clip censoring: only interior-range pixels
+        sel = (f_off > 0.2) & (f_off < 0.8)
+        dd = jnp.where(sel, d, jnp.nan)
+        mean = float(jnp.nanmean(dd))
+        std = float(jnp.sqrt(jnp.nanvar(dd)))
+        print(f"ih4 stats on interior px: mean {mean:+.5f} (want ~0), "
+              f"std {std:.5f} (want ~0.05)")
 
     # camera at [N] rows, 54x96 → padded lane multiple
     n = n_envs
