@@ -183,3 +183,135 @@ def sdf_normal(sdf_fn, p: jax.Array, *args) -> jax.Array:
     """Unit outward normal via analytic gradient of the SDF."""
     g = jax.grad(lambda q: jnp.sum(sdf_fn(q, *args)))(p)
     return g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
+
+
+# ------------------------------------------------------------- plane (SoA) form
+# Same formulas in coordinate-plane layout: every function takes [.., P]
+# x/y(/z) planes plus [.., 1]-broadcastable shape scalars and returns a
+# [.., P] distance plane. On TPU this is the fast layout for point batches —
+# an [N, P, 3] point array pads its minor axis 3 → 128 lanes (~42× the bytes
+# and VPU work), while [N, P] planes pad only P to the next lane multiple.
+# Used by the Pallas renderers (sensors/render_pallas.py) and batched contact
+# generation (physics/contact.py); the vector forms above are the oracle in
+# the parity tests (tests/test_sdf.py, tests/test_render_pallas.py).
+
+
+def _pnorm2(x, y):
+    return jnp.sqrt(x * x + y * y + 1e-18)
+
+
+def plane_sd_circle(px, py, hx, hy):
+    del hy
+    return _pnorm2(px, py) - hx
+
+
+def plane_sd_box2d(px, py, hx, hy):
+    dx = jnp.abs(px) - hx
+    dy = jnp.abs(py) - hy
+    return _pnorm2(jnp.maximum(dx, 0.0), jnp.maximum(dy, 0.0)) + jnp.minimum(
+        jnp.maximum(dx, dy), 0.0
+    )
+
+
+def plane_sd_hexagon(px, py, hx, hy):
+    del hy
+    kx, ky, kz = -0.8660254037844386, 0.5, 0.5773502691896258
+    qx, qy = jnp.abs(px), jnp.abs(py)
+    dot = kx * qx + ky * qy
+    m = 2.0 * jnp.minimum(dot, 0.0)
+    qx = qx - m * kx
+    qy = qy - m * ky
+    cx = qx.clip(-kz * hx, kz * hx)
+    return _pnorm2(qx - cx, qy - hx) * jnp.sign(qy - hx)
+
+
+def plane_sd_ellipse(px, py, hx, hy):
+    ex, ey = px / hx, py / hy
+    k0 = jnp.sqrt(ex * ex + ey * ey + 1e-18)
+    fx, fy = px / (hx * hx), py / (hy * hy)
+    k1 = jnp.maximum(jnp.sqrt(fx * fx + fy * fy + 1e-18), 1e-9)
+    return jnp.where(k0 < 1e-6, -jnp.minimum(hx, hy), k0 * (k0 - 1.0) / k1)
+
+
+def plane_sd_trapezoid(px_in, py_in, hx, hy):
+    r1 = hx
+    r2 = TRAPEZOID_TOP_RATIO * hx
+    he = hy
+    px = jnp.abs(px_in)
+    y_c = 2.0 * hy * (r1 + 2.0 * r2) / (3.0 * (r1 + r2)) - hy
+    py = py_in + y_c
+    k1x, k1y = r2, he
+    k2x, k2y = r2 - r1, 2.0 * he
+    ca_x = px - jnp.minimum(px, jnp.where(py < 0.0, r1, r2))
+    ca_y = jnp.abs(py) - he
+    k2n = jnp.maximum(k2x * k2x + k2y * k2y, 1e-12)
+    t = (((k1x - px) * k2x + (k1y - py) * k2y) / k2n).clip(0.0, 1.0)
+    cbx = px - k1x + k2x * t
+    cby = py - k1y + k2y * t
+    s = jnp.where((cbx < 0.0) & (ca_y < 0.0), -1.0, 1.0)
+    d2 = jnp.minimum(ca_x * ca_x + ca_y * ca_y, cbx * cbx + cby * cby)
+    return s * jnp.sqrt(d2 + 1e-18)
+
+
+def plane_sd_segment(px, py, ax, ay, bx, by):
+    pax, pay = px - ax, py - ay
+    bax, bay = bx - ax, by - ay
+    h = ((pax * bax + pay * bay) / jnp.maximum(bax * bax + bay * bay, 1e-12)).clip(0.0, 1.0)
+    return _pnorm2(pax - bax * h, pay - bay * h)
+
+
+def plane_sd_triangle_iso(px, py, hx, hy):
+    y0 = -2.0 * hy / 3.0
+    ax, ay = -hx, y0
+    bx, by = hx, y0
+    cx, cy = jnp.zeros_like(hx), y0 + 2.0 * hy
+    d = jnp.minimum(
+        jnp.minimum(plane_sd_segment(px, py, ax, ay, bx, by),
+                    plane_sd_segment(px, py, bx, by, cx, cy)),
+        plane_sd_segment(px, py, cx, cy, ax, ay),
+    )
+
+    def edge(e0x, e0y, e1x, e1y):
+        return (e1x - e0x) * (py - e0y) - (e1y - e0y) * (px - e0x)
+
+    inside = (
+        (edge(ax, ay, bx, by) > 0)
+        & (edge(bx, by, cx, cy) > 0)
+        & (edge(cx, cy, ax, ay) > 0)
+    )
+    return jnp.where(inside, -d, d)
+
+
+PLANE_SECTION_FNS = (plane_sd_circle, plane_sd_box2d, plane_sd_hexagon,
+                     plane_sd_ellipse, plane_sd_trapezoid, plane_sd_triangle_iso)
+
+
+def section_sdf_planes(px, py, oh, hx, hy):
+    """One-hot blend of the six section families. oh: sequence of 6 planes
+    (each [.., 1]-broadcastable against px/py)."""
+    d = None
+    for k, fn in enumerate(PLANE_SECTION_FNS):
+        dk = fn(px, py, hx, hy) * oh[k]
+        d = dk if d is None else d + dk
+    return d
+
+
+def extrude_planes(d2, z, half_len, z_center):
+    wz = jnp.abs(z - z_center) - half_len
+    dx = jnp.maximum(d2, 0.0)
+    dz = jnp.maximum(wz, 0.0)
+    return jnp.sqrt(dx * dx + dz * dz + 1e-18) + jnp.minimum(jnp.maximum(d2, wz), 0.0)
+
+
+def plug_sdf_planes(px, py, pz, oh, hx, hy, length):
+    d2 = section_sdf_planes(px, py, oh, hx, hy)
+    return extrude_planes(d2, pz, 0.5 * length, 0.5 * length)
+
+
+def socket_sdf_planes(px, py, pz, oh, hole_hx, hole_hy, height,
+                      plate_hx: float, plate_hy: float):
+    plate2 = plane_sd_box2d(px, py, jnp.full_like(hole_hx, plate_hx),
+                            jnp.full_like(hole_hx, plate_hy))
+    plate = extrude_planes(plate2, pz, 0.5 * height, 0.5 * height)
+    hole2 = section_sdf_planes(px, py, oh, hole_hx, hole_hy)
+    return jnp.maximum(plate, -hole2)

@@ -63,45 +63,83 @@ def plug_env_contacts(
     mat: MaterialParams,
 ) -> ContactSet:
     """Socket-SDF + table contacts over their respective point subsets
-    (assets.SOCKET_PT_COUNT / TABLE_PT_IDX split) → [N, Ps+Pt]."""
+    (assets.SOCKET_PT_COUNT / TABLE_PT_IDX split) → [N, Ps+Pt].
+
+    Internals run in coordinate-plane (SoA) layout: every [N, P, 3] point op
+    pads its minor axis 3 → 128 TPU lanes (~42× the bytes/VPU work), so the
+    transforms, SDF query and gradient all operate on [N, P] x/y/z planes
+    (rotations as 9 scalar-broadcast madds) and the AoS ContactSet fields are
+    assembled once at the end. Same math as the vector form (ops/sdf.py) —
+    contact_gen was the top physics cost at 9.4 ms/substep @8192 envs."""
     dtype = plug_pos.dtype
 
+    Rp = rot.quat_to_matrix(plug_q)                   # [N, 3, 3]
+    Rs = rot.quat_to_matrix(socket_q)
+    rp = lambda i, j: Rp[..., i, j][..., None]        # [N, 1] scalars
+    rs_ = lambda i, j: Rs[..., i, j][..., None]
+    col = lambda v, i: v[..., i][..., None]
+
+    def to_world(pts):                                # [N, P, 3] → 3×[N, P]
+        lx, ly, lz = pts[..., 0], pts[..., 1], pts[..., 2]
+        wx = rp(0, 0) * lx + rp(0, 1) * ly + rp(0, 2) * lz + col(plug_pos, 0)
+        wy = rp(1, 0) * lx + rp(1, 1) * ly + rp(1, 2) * lz + col(plug_pos, 1)
+        wz = rp(2, 0) * lx + rp(2, 1) * ly + rp(2, 2) * lz + col(plug_pos, 2)
+        return wx, wy, wz
+
     # ---- socket SDF (socket frame)
-    ps_w = plug_pos[..., None, :] + rot.quat_apply(plug_q[..., None, :], socket_points)
-    rs = ps_w - plug_com_w[..., None, :]
-    inv_q, inv_t = rot.tf_inverse(socket_q, socket_pos)
-    p_s = inv_t[..., None, :] + rot.quat_apply(inv_q[..., None, :], ps_w)
+    wx, wy, wz = to_world(socket_points)
+    # socket frame: p_s = Rsᵀ (w − t_s)
+    dxw = wx - col(socket_pos, 0)
+    dyw = wy - col(socket_pos, 1)
+    dzw = wz - col(socket_pos, 2)
+    sx = rs_(0, 0) * dxw + rs_(1, 0) * dyw + rs_(2, 0) * dzw
+    sy = rs_(0, 1) * dxw + rs_(1, 1) * dyw + rs_(2, 1) * dzw
+    sz = rs_(0, 2) * dxw + rs_(1, 2) * dyw + rs_(2, 2) * dzw
 
     from ..assets import SOCKET_PLATE_HX, SOCKET_PLATE_HY
 
-    def sock_sdf(ps):
-        return sdfm.socket_sdf(
-            ps, kind_onehot[..., None, :], hole_hx[..., None], hole_hy[..., None],
-            socket_height[..., None],
-            jnp.asarray(SOCKET_PLATE_HX, dtype), jnp.asarray(SOCKET_PLATE_HY, dtype),
+    oh = tuple(kind_onehot[..., k][..., None] for k in range(kind_onehot.shape[-1]))
+
+    def sock_sdf(px, py, pz):
+        return sdfm.socket_sdf_planes(
+            px, py, pz, oh, hole_hx[..., None], hole_hy[..., None],
+            socket_height[..., None], float(SOCKET_PLATE_HX), float(SOCKET_PLATE_HY),
         )
 
-    d_s, pullback = jax.vjp(sock_sdf, p_s)
-    (grad_s,) = pullback(jnp.ones_like(d_s))
-    n_local = grad_s / jnp.linalg.norm(grad_s, axis=-1, keepdims=True).clip(1e-9)
-    n_s = rot.quat_apply(socket_q[..., None, :], n_local)  # pushes plug out of socket
+    d_s, pullback = jax.vjp(sock_sdf, sx, sy, sz)
+    gx, gy, gz = pullback(jnp.ones_like(d_s))
+    gn = jnp.sqrt(gx * gx + gy * gy + gz * gz).clip(1e-9)
+    gx, gy, gz = gx / gn, gy / gn, gz / gn
+    # normal back to world (pushes plug out of socket): n_w = Rs n_local
+    nx = rs_(0, 0) * gx + rs_(0, 1) * gy + rs_(0, 2) * gz
+    ny = rs_(1, 0) * gx + rs_(1, 1) * gy + rs_(1, 2) * gz
+    nz = rs_(2, 0) * gx + rs_(2, 1) * gy + rs_(2, 2) * gz
+
+    rsx = wx - col(plug_com_w, 0)
+    rsy = wy - col(plug_com_w, 1)
+    rsz = wz - col(plug_com_w, 2)
 
     shape = d_s.shape
     cs_socket = ContactSet(
-        r=rs, n=n_s, depth=-d_s, v_other=jnp.zeros_like(ps_w),
+        r=jnp.stack([rsx, rsy, rsz], axis=-1),
+        n=jnp.stack([nx, ny, nz], axis=-1),
+        depth=-d_s,
+        v_other=jnp.zeros(shape + (3,), dtype),
         mu=jnp.broadcast_to(mat.mu_socket[..., None], shape),
         weight=jnp.broadcast_to(socket_weights, shape),
         stiffness=jnp.zeros(shape, dtype),
     )
 
     # ---- table halfspace z >= table_height
-    pt_w = plug_pos[..., None, :] + rot.quat_apply(plug_q[..., None, :], table_points)
-    rt = pt_w - plug_com_w[..., None, :]
-    shape_t = pt_w.shape[:-1]
-    n_t = jnp.zeros_like(pt_w).at[..., 2].set(1.0)
+    tx, ty, tz = to_world(table_points)
+    shape_t = tz.shape
+    zero = jnp.zeros(shape_t, dtype)
+    n_t = jnp.stack([zero, zero, jnp.ones(shape_t, dtype)], axis=-1)
     cs_table = ContactSet(
-        r=rt, n=n_t, depth=table_height[..., None] - pt_w[..., 2],
-        v_other=jnp.zeros_like(pt_w),
+        r=jnp.stack([tx - col(plug_com_w, 0), ty - col(plug_com_w, 1),
+                     tz - col(plug_com_w, 2)], axis=-1),
+        n=n_t, depth=table_height[..., None] - tz,
+        v_other=jnp.zeros(shape_t + (3,), dtype),
         mu=jnp.broadcast_to(mat.mu_table[..., None], shape_t),
         weight=jnp.broadcast_to(table_weights, shape_t),
         stiffness=jnp.zeros(shape_t, dtype),

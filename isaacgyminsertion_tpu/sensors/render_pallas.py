@@ -32,8 +32,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.sdf import TRAPEZOID_TOP_RATIO
-
 LANE = 128
 BLOCK_R = 8
 
@@ -57,129 +55,16 @@ def _pad_axis(x, size, axis, value=0.0):
 
 
 # ------------------------------------------------------------------ plane SDFs
-# Plane-form ports of ops/sdf.py: every function takes [B, P] coordinate
-# planes and [B, 1] per-row shape scalars and returns a [B, P] distance plane.
-# Formulas are identical (incl. the gradient-safe epsilons) — ops/sdf.py is
-# the oracle in the parity tests.
+# The plane-form SDF family lives in ops/sdf.py (shared with batched contact
+# generation); these aliases keep the kernel code unchanged. Formulas are
+# identical to the vector forms (incl. the gradient-safe epsilons) —
+# ops/sdf.py's vector form is the oracle in the parity tests.
 
-
-def _pnorm2(x, y):
-    return jnp.sqrt(x * x + y * y + 1e-18)
-
-
-def _sd_circle(px, py, hx, hy):
-    del hy
-    return _pnorm2(px, py) - hx
-
-
-def _sd_box2d(px, py, hx, hy):
-    dx = jnp.abs(px) - hx
-    dy = jnp.abs(py) - hy
-    return _pnorm2(jnp.maximum(dx, 0.0), jnp.maximum(dy, 0.0)) + jnp.minimum(
-        jnp.maximum(dx, dy), 0.0
-    )
-
-
-def _sd_hexagon(px, py, hx, hy):
-    del hy
-    kx, ky, kz = -0.8660254037844386, 0.5, 0.5773502691896258
-    qx, qy = jnp.abs(px), jnp.abs(py)
-    dot = kx * qx + ky * qy
-    m = 2.0 * jnp.minimum(dot, 0.0)
-    qx = qx - m * kx
-    qy = qy - m * ky
-    cx = qx.clip(-kz * hx, kz * hx)
-    return _pnorm2(qx - cx, qy - hx) * jnp.sign(qy - hx)
-
-
-def _sd_ellipse(px, py, hx, hy):
-    ex, ey = px / hx, py / hy
-    k0 = jnp.sqrt(ex * ex + ey * ey + 1e-18)
-    fx, fy = px / (hx * hx), py / (hy * hy)
-    k1 = jnp.maximum(jnp.sqrt(fx * fx + fy * fy + 1e-18), 1e-9)
-    return jnp.where(k0 < 1e-6, -jnp.minimum(hx, hy), k0 * (k0 - 1.0) / k1)
-
-
-def _sd_trapezoid(px_in, py_in, hx, hy):
-    r1 = hx
-    r2 = TRAPEZOID_TOP_RATIO * hx
-    he = hy
-    px = jnp.abs(px_in)
-    y_c = 2.0 * hy * (r1 + 2.0 * r2) / (3.0 * (r1 + r2)) - hy
-    py = py_in + y_c
-    k1x, k1y = r2, he
-    k2x, k2y = r2 - r1, 2.0 * he
-    ca_x = px - jnp.minimum(px, jnp.where(py < 0.0, r1, r2))
-    ca_y = jnp.abs(py) - he
-    k2n = jnp.maximum(k2x * k2x + k2y * k2y, 1e-12)
-    t = (((k1x - px) * k2x + (k1y - py) * k2y) / k2n).clip(0.0, 1.0)
-    cbx = px - k1x + k2x * t
-    cby = py - k1y + k2y * t
-    s = jnp.where((cbx < 0.0) & (ca_y < 0.0), -1.0, 1.0)
-    d2 = jnp.minimum(ca_x * ca_x + ca_y * ca_y, cbx * cbx + cby * cby)
-    return s * jnp.sqrt(d2 + 1e-18)
-
-
-def _sd_segment(px, py, ax, ay, bx, by):
-    pax, pay = px - ax, py - ay
-    bax, bay = bx - ax, by - ay
-    h = ((pax * bax + pay * bay) / jnp.maximum(bax * bax + bay * bay, 1e-12)).clip(0.0, 1.0)
-    return _pnorm2(pax - bax * h, pay - bay * h)
-
-
-def _sd_triangle_iso(px, py, hx, hy):
-    y0 = -2.0 * hy / 3.0
-    ax, ay = -hx, y0
-    bx, by = hx, y0
-    cx, cy = jnp.zeros_like(hx), y0 + 2.0 * hy
-    d = jnp.minimum(
-        jnp.minimum(_sd_segment(px, py, ax, ay, bx, by), _sd_segment(px, py, bx, by, cx, cy)),
-        _sd_segment(px, py, cx, cy, ax, ay),
-    )
-
-    def edge(e0x, e0y, e1x, e1y):
-        return (e1x - e0x) * (py - e0y) - (e1y - e0y) * (px - e0x)
-
-    inside = (
-        (edge(ax, ay, bx, by) > 0)
-        & (edge(bx, by, cx, cy) > 0)
-        & (edge(cx, cy, ax, ay) > 0)
-    )
-    return jnp.where(inside, -d, d)
-
-
-_PLANE_SECTIONS = (_sd_circle, _sd_box2d, _sd_hexagon, _sd_ellipse,
-                   _sd_trapezoid, _sd_triangle_iso)
-
-
-def _section_sdf_planes(px, py, oh, hx, hy):
-    """One-hot blend of the six section families. oh: tuple of 6 [B, 1]."""
-    d = None
-    for k, fn in enumerate(_PLANE_SECTIONS):
-        dk = fn(px, py, hx, hy) * oh[k]
-        d = dk if d is None else d + dk
-    return d
-
-
-def _extrude(d2, z, half_len, z_center):
-    wz = jnp.abs(z - z_center) - half_len
-    dx = jnp.maximum(d2, 0.0)
-    dz = jnp.maximum(wz, 0.0)
-    return jnp.sqrt(dx * dx + dz * dz + 1e-18) + jnp.minimum(jnp.maximum(d2, wz), 0.0)
-
-
-def _plug_sdf_planes(px, py, pz, oh, hx, hy, length):
-    d2 = _section_sdf_planes(px, py, oh, hx, hy)
-    return _extrude(d2, pz, 0.5 * length, 0.5 * length)
-
-
-def _socket_sdf_planes(px, py, pz, oh, hole_hx, hole_hy, height,
-                       plate_hx: float, plate_hy: float):
-    plate2 = _sd_box2d(px, py, jnp.full_like(hole_hx, plate_hx),
-                       jnp.full_like(hole_hx, plate_hy))
-    plate = _extrude(plate2, pz, 0.5 * height, 0.5 * height)
-    hole2 = _section_sdf_planes(px, py, oh, hole_hx, hole_hy)
-    return jnp.maximum(plate, -hole2)
+from ..ops.sdf import (  # noqa: E402
+    plane_sd_box2d as _sd_box2d,
+    plug_sdf_planes as _plug_sdf_planes,
+    socket_sdf_planes as _socket_sdf_planes,
+)
 
 
 # tetrahedron finite-difference directions for SDF normals

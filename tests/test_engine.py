@@ -110,3 +110,78 @@ def test_fingertip_grasp_applies_force(setup):
     for leaf in state:
         assert bool(jnp.all(jnp.isfinite(leaf)))
     assert peak_fn > 0.1  # pads made contact while closing
+
+
+def test_plane_form_contact_gen_matches_vector_oracle():
+    """plug_env_contacts runs in coordinate-plane (SoA) layout for TPU lane
+    efficiency; its depths/normals/lever-arms must match the straightforward
+    vector-form computation (quat_apply + ops/sdf vector SDF + vjp) on random
+    poses across all six section kinds."""
+    from isaacgyminsertion_tpu.ops import rotations as rot
+    from isaacgyminsertion_tpu.ops import sdf as sdfm
+    from isaacgyminsertion_tpu.physics.contact import (
+        default_materials, plug_env_contacts)
+    from isaacgyminsertion_tpu.assets import (
+        SOCKET_PLATE_HX, SOCKET_PLATE_HY, SOCKET_PT_COUNT, TABLE_PT_IDX,
+        build_subassembly_set)
+
+    subs = build_subassembly_set()
+    n_sub = subs.kind_onehot.shape[0]
+    rng = np.random.default_rng(0)
+    # one env per subassembly (covers all kinds present in the set)
+    idx = np.arange(n_sub)
+    sp = jnp.asarray(subs.surface_points[idx])
+    sw = jnp.asarray(subs.surface_weights[idx])
+    kind = jnp.asarray(subs.kind_onehot[idx])
+    hole_hx = jnp.asarray(subs.hole_hx[idx])
+    hole_hy = jnp.asarray(subs.hole_hy[idx])
+    sh = jnp.asarray(subs.socket_height[idx])
+    th = jnp.full((n_sub,), 0.001)
+
+    q = rot.quat_unit(jnp.asarray(
+        rng.normal(size=(n_sub, 4)).astype(np.float32)))
+    pos = jnp.asarray(
+        rng.normal(scale=0.01, size=(n_sub, 3)).astype(np.float32)
+        + np.array([0.0, 0.0, 0.02], np.float32))
+    com = pos + jnp.asarray([0.0, 0.0, 0.02])
+    sq = rot.quat_unit(jnp.asarray(
+        np.concatenate([np.ones((n_sub, 1)), 0.05 * rng.normal(size=(n_sub, 3))],
+                       axis=1).astype(np.float32)))
+    spos = jnp.asarray(rng.normal(scale=0.005, size=(n_sub, 3)).astype(np.float32))
+    mat = default_materials()
+
+    tbl = jnp.asarray(TABLE_PT_IDX)
+    cs = plug_env_contacts(
+        sp[:, :SOCKET_PT_COUNT], sw[:, :SOCKET_PT_COUNT],
+        sp[:, tbl], sw[:, tbl], q, pos, com, sq, spos,
+        kind, hole_hx, hole_hy, sh, th, mat)
+
+    # vector-form oracle (the pre-plane implementation)
+    pts = sp[:, :SOCKET_PT_COUNT]
+    ps_w = pos[:, None, :] + rot.quat_apply(q[:, None, :], pts)
+    inv_q, inv_t = rot.tf_inverse(sq, spos)
+    p_s = inv_t[:, None, :] + rot.quat_apply(inv_q[:, None, :], ps_w)
+
+    def sock_sdf(ps):
+        return sdfm.socket_sdf(
+            ps, kind[:, None, :], hole_hx[:, None], hole_hy[:, None],
+            sh[:, None], jnp.float32(SOCKET_PLATE_HX), jnp.float32(SOCKET_PLATE_HY))
+
+    d_ref, pullback = jax.vjp(sock_sdf, p_s)
+    (g_ref,) = pullback(jnp.ones_like(d_ref))
+    n_ref = g_ref / jnp.linalg.norm(g_ref, axis=-1, keepdims=True).clip(1e-9)
+    n_ref = rot.quat_apply(sq[:, None, :], n_ref)
+    r_ref = ps_w - com[:, None, :]
+
+    Ps = SOCKET_PT_COUNT
+    np.testing.assert_allclose(np.asarray(cs.depth[:, :Ps]), -np.asarray(d_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cs.r[:, :Ps]), np.asarray(r_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cs.n[:, :Ps]), np.asarray(n_ref),
+                               atol=1e-5)
+    # table block: world z from the plane transform
+    pt_w = pos[:, None, :] + rot.quat_apply(q[:, None, :], sp[:, tbl])
+    np.testing.assert_allclose(np.asarray(cs.depth[:, Ps:]),
+                               np.asarray(th[:, None] - pt_w[..., 2]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cs.n[:, Ps:, 2]), 1.0)
