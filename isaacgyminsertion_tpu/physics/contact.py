@@ -185,19 +185,35 @@ def fingertip_plug_contacts(
     """
     F = tip_pos.shape[-2]
 
-    def psdf(pl):
-        return sdfm.plug_sdf(
-            pl, kind_onehot[..., None, :], plug_hx[..., None], plug_hy[..., None],
+    oh = tuple(kind_onehot[..., k][..., None] for k in range(kind_onehot.shape[-1]))
+
+    def psdf(px, py, pz):
+        return sdfm.plug_sdf_planes(
+            px, py, pz, oh, plug_hx[..., None], plug_hy[..., None],
             plug_length[..., None],
         )
 
     def query(points_w):
-        inv_q, inv_t = rot.tf_inverse(plug_q, plug_pos)
-        p_local = inv_t[..., None, :] + rot.quat_apply(inv_q[..., None, :], points_w)
-        d, pullback = jax.vjp(psdf, p_local)
-        (g,) = pullback(jnp.ones_like(d))
-        out_local = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
-        return d, rot.quat_apply(plug_q[..., None, :], out_local)
+        # plane-form (SoA) SDF query — see plug_env_contacts for rationale
+        Rp = rot.quat_to_matrix(plug_q)
+        rp = lambda i, j: Rp[..., i, j][..., None]
+        col = lambda v, i: v[..., i][..., None]
+        dxw = points_w[..., 0] - col(plug_pos, 0)
+        dyw = points_w[..., 1] - col(plug_pos, 1)
+        dzw = points_w[..., 2] - col(plug_pos, 2)
+        # plug frame: p = Rpᵀ (w − t)
+        px = rp(0, 0) * dxw + rp(1, 0) * dyw + rp(2, 0) * dzw
+        py = rp(0, 1) * dxw + rp(1, 1) * dyw + rp(2, 1) * dzw
+        pz = rp(0, 2) * dxw + rp(1, 2) * dyw + rp(2, 2) * dzw
+        d, pullback = jax.vjp(psdf, px, py, pz)
+        gx, gy, gz = pullback(jnp.ones_like(d))
+        gn = jnp.sqrt(gx * gx + gy * gy + gz * gz).clip(1e-9)
+        gx, gy, gz = gx / gn, gy / gn, gz / gn
+        out_w = jnp.stack(
+            [rp(0, 0) * gx + rp(0, 1) * gy + rp(0, 2) * gz,
+             rp(1, 0) * gx + rp(1, 1) * gy + rp(1, 2) * gz,
+             rp(2, 0) * gx + rp(2, 1) * gy + rp(2, 2) * gz], axis=-1)
+        return d, out_w
 
     # pass 1: pad centers → contact normal → tangent basis of each pad
     d_c, out_c = query(tip_pos)
