@@ -13,6 +13,12 @@ output, with invalid points parked at the workspace floor.
 Assembly contract (hard, SURVEY.md §8.3): the merged cloud is ordered
 [plug pts | socket pts | goal pts | scene pts] (factory_task_insertion.py:
 1014-1027), since the student slices it positionally (tact.py:541-570).
+
+Layout: internals run on [N, P] x/y/z coordinate planes (SoA) — an
+[N, 5184, 3] point array pads its minor axis 3 → 128 TPU lanes (~42× the
+bytes/VPU work), and the back-projection over every camera pixel is the
+largest point batch in the framework. AoS [N, K, 3] clouds are assembled
+only at the K≈400-per-part outputs.
 """
 
 from __future__ import annotations
@@ -26,16 +32,34 @@ from ..ops import rotations as rot
 from .camera import SEG_PLUG, SEG_SOCKET, CameraConfig, _pixel_rays
 
 
-def backproject(
-    cfg: CameraConfig,
-    depth_raw: jax.Array,   # [N, H, W] metric depth along the ray
-) -> jax.Array:
-    """World-frame points [N, H, W, 3] from ray-march depth."""
-    rays_c = _pixel_rays(cfg)
+def _backproject_planes(cfg: CameraConfig, depth_raw: jax.Array):
+    """World-frame (x, y, z) planes [N, H*W] from ray-march depth."""
+    n = depth_raw.shape[0]
+    d = depth_raw.reshape(n, -1)
+    rays_c = _pixel_rays(cfg).reshape(-1, 3)
     cam_q = jnp.asarray(cfg.cam_quat, depth_raw.dtype)
     cam_t = jnp.asarray(cfg.cam_pos, depth_raw.dtype)
-    rays_w = rot.quat_apply(cam_q, rays_c)
-    return cam_t + rays_w * depth_raw[..., None]
+    rays_w = rot.quat_apply(cam_q, rays_c)          # [HW, 3], constant-sized
+    x = cam_t[0] + rays_w[:, 0] * d
+    y = cam_t[1] + rays_w[:, 1] * d
+    z = cam_t[2] + rays_w[:, 2] * d
+    return x, y, z
+
+
+def backproject(cfg: CameraConfig, depth_raw: jax.Array) -> jax.Array:
+    """World-frame points [N, H, W, 3] from ray-march depth."""
+    x, y, z = _backproject_planes(cfg, depth_raw)
+    return jnp.stack([x, y, z], axis=-1).reshape(depth_raw.shape + (3,))
+
+
+def _downsample_planes(x, y, z, valid, k: int, key, fill_value: float = 0.0):
+    """Uniformly sample k of the valid columns → [N, k, 3] (fixed shape)."""
+    score = valid.astype(x.dtype) + jax.random.uniform(key, valid.shape)
+    _, idx = jax.lax.top_k(score, k)                       # [N, k]
+    take = lambda p: jnp.take_along_axis(p, idx, axis=1)
+    ok = take(valid)
+    pts = jnp.stack([take(x), take(y), take(z)], axis=-1)
+    return jnp.where(ok[..., None], pts, fill_value)
 
 
 def masked_downsample(
@@ -46,18 +70,22 @@ def masked_downsample(
     fill_value: float = 0.0,
 ) -> jax.Array:
     """Uniformly sample k points from the valid set (fixed shape [N, k, 3])."""
-    score = valid.astype(points.dtype) + jax.random.uniform(key, valid.shape)
-    _, idx = jax.lax.top_k(score, k)                       # [N, k]
-    pts = jnp.take_along_axis(points, idx[..., None], axis=1)
-    ok = jnp.take_along_axis(valid, idx, axis=1)
-    return jnp.where(ok[..., None], pts, fill_value)
+    return _downsample_planes(points[..., 0], points[..., 1], points[..., 2],
+                              valid, k, key, fill_value)
 
 
-def workspace_crop(points: jax.Array, lo=(0.3, -0.25, -0.01), hi=(0.8, 0.25, 0.4)) -> jax.Array:
+WS_LO = (0.3, -0.25, -0.01)
+WS_HI = (0.8, 0.25, 0.4)
+
+
+def _crop_planes(x, y, z, lo=WS_LO, hi=WS_HI):
+    return ((x >= lo[0]) & (x <= hi[0]) & (y >= lo[1]) & (y <= hi[1])
+            & (z >= lo[2]) & (z <= hi[2]))
+
+
+def workspace_crop(points: jax.Array, lo=WS_LO, hi=WS_HI) -> jax.Array:
     """Validity mask for the workspace box (filter_pts, factory_task_insertion.py:66-77)."""
-    lo = jnp.asarray(lo, points.dtype)
-    hi = jnp.asarray(hi, points.dtype)
-    return jnp.all((points >= lo) & (points <= hi), axis=-1)
+    return _crop_planes(points[..., 0], points[..., 1], points[..., 2], lo, hi)
 
 
 class PclAugmentConfig(NamedTuple):
@@ -74,33 +102,43 @@ def augment_pcl(points: jax.Array, key: jax.Array, cfg: PclAugmentConfig, enable
     """Random jitter/rotate/scale/outliers/dropout; `enable` [N] gates per env."""
     n = points.shape[0]
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-    out = points
-    # jitter
-    out = out + cfg.jitter_std * jax.random.normal(k1, out.shape)
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    # jitter (per-component draws as planes; same distribution as a [N,P,3] draw)
+    kx, ky, kz = jax.random.split(k1, 3)
+    x = x + cfg.jitter_std * jax.random.normal(kx, x.shape)
+    y = y + cfg.jitter_std * jax.random.normal(ky, y.shape)
+    z = z + cfg.jitter_std * jax.random.normal(kz, z.shape)
     # rotate about z by ±rotate_deg around the centroid
-    ang = jnp.deg2rad(cfg.rotate_deg) * 2.0 * (jax.random.uniform(k2, (n,)) - 0.5)
+    ang = jnp.deg2rad(cfg.rotate_deg) * 2.0 * (jax.random.uniform(k2, (n, 1)) - 0.5)
     c, s = jnp.cos(ang), jnp.sin(ang)
-    centroid = jnp.mean(out, axis=1, keepdims=True)
-    rel = out - centroid
-    rel = jnp.stack(
-        [c[:, None] * rel[..., 0] - s[:, None] * rel[..., 1],
-         s[:, None] * rel[..., 0] + c[:, None] * rel[..., 1],
-         rel[..., 2]],
-        axis=-1,
-    )
-    out = centroid + rel
+    cx = jnp.mean(x, axis=1, keepdims=True)
+    cy = jnp.mean(y, axis=1, keepdims=True)
+    cz = jnp.mean(z, axis=1, keepdims=True)
+    rx, ry, rz = x - cx, y - cy, z - cz
+    rx, ry = c * rx - s * ry, s * rx + c * ry
     # scale
-    sc = jax.random.uniform(k3, (n, 1, 1), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
-    out = centroid + (out - centroid) * sc
+    sc = jax.random.uniform(k3, (n, 1), minval=cfg.scale_range[0],
+                            maxval=cfg.scale_range[1])
+    x = cx + rx * sc
+    y = cy + ry * sc
+    z = cz + rz * sc
     # outliers: replace a fraction with uniform noise in the local bbox
-    r = jax.random.uniform(k4, out.shape[:2])
-    lo = jnp.min(out, axis=1, keepdims=True)
-    hi = jnp.max(out, axis=1, keepdims=True)
-    rand_pts = lo + jax.random.uniform(k5, out.shape) * (hi - lo)
-    out = jnp.where((r < cfg.outlier_frac)[..., None], rand_pts, out)
+    r = jax.random.uniform(k4, x.shape)
+    out_mask = r < cfg.outlier_frac
+    k5x, k5y, k5z = jax.random.split(k5, 3)
+    bb = lambda p, kk: (jnp.min(p, axis=1, keepdims=True)
+                        + jax.random.uniform(kk, p.shape)
+                        * (jnp.max(p, axis=1, keepdims=True)
+                           - jnp.min(p, axis=1, keepdims=True)))
+    x = jnp.where(out_mask, bb(x, k5x), x)
+    y = jnp.where(out_mask, bb(y, k5y), y)
+    z = jnp.where(out_mask, bb(z, k5z), z)
     # dropout: duplicate the first point over a random fraction
-    rd = jax.random.uniform(k6, out.shape[:2])
-    out = jnp.where((rd < cfg.dropout_frac)[..., None], out[:, :1], out)
+    rd = jax.random.uniform(k6, x.shape) < cfg.dropout_frac
+    x = jnp.where(rd, x[:, :1], x)
+    y = jnp.where(rd, y[:, :1], y)
+    z = jnp.where(rd, z[:, :1], z)
+    out = jnp.stack([x, y, z], axis=-1)
     return jnp.where(enable[:, None, None], out, points)
 
 
@@ -121,18 +159,20 @@ def assemble_scene_pcl(
 ) -> jax.Array:
     """Merged cloud in the hard order [plug | socket | goal | scene]."""
     n = depth_raw.shape[0]
-    pts = backproject(cfg, depth_raw).reshape(n, -1, 3)
+    x, y, z = _backproject_planes(cfg, depth_raw)
     segf = seg.reshape(n, -1)
-    in_ws = workspace_crop(pts)
+    in_ws = _crop_planes(x, y, z)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     parts = []
     if include_plug:
-        parts.append(masked_downsample(pts, in_ws & (segf == SEG_PLUG), num_plug, k1))
+        parts.append(_downsample_planes(x, y, z, in_ws & (segf == SEG_PLUG),
+                                        num_plug, k1))
     if merge_socket:
-        parts.append(masked_downsample(pts, in_ws & (segf == SEG_SOCKET), num_socket, k2))
+        parts.append(_downsample_planes(x, y, z, in_ws & (segf == SEG_SOCKET),
+                                        num_socket, k2))
     if merge_goal:
         gidx = jax.random.randint(k3, (n, num_goal), 0, goal_pts.shape[1])
         parts.append(jnp.take_along_axis(goal_pts, gidx[..., None], axis=1))
     if include_all or num_scene > 0:
-        parts.append(masked_downsample(pts, in_ws, max(num_scene, 1), k4))
+        parts.append(_downsample_planes(x, y, z, in_ws, max(num_scene, 1), k4))
     return jnp.concatenate(parts, axis=1)
