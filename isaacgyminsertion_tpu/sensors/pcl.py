@@ -53,9 +53,20 @@ def backproject(cfg: CameraConfig, depth_raw: jax.Array) -> jax.Array:
 
 
 def _downsample_planes(x, y, z, valid, k: int, key, fill_value: float = 0.0):
-    """Uniformly sample k of the valid columns → [N, k, 3] (fixed shape)."""
+    """Uniformly sample k of the valid columns → [N, k, 3] (fixed shape).
+
+    IGT_PCL_TOPK=approx swaps the exact top-k sort for TPU-optimized
+    jax.lax.approx_max_k (recall ~0.95): with random scores the selected
+    set is still uniform over valid pixels, but when fewer than ~k/0.95
+    pixels are valid a few slots may fall to invalid pixels (parked at
+    fill_value by the ok-mask below). Default stays exact."""
+    import os
+
     score = valid.astype(x.dtype) + jax.random.uniform(key, valid.shape)
-    _, idx = jax.lax.top_k(score, k)                       # [N, k]
+    if os.environ.get("IGT_PCL_TOPK") == "approx":
+        _, idx = jax.lax.approx_max_k(score, k)            # [N, k]
+    else:
+        _, idx = jax.lax.top_k(score, k)                   # [N, k]
     take = lambda p: jnp.take_along_axis(p, idx, axis=1)
     ok = take(valid)
     pts = jnp.stack([take(x), take(y), take(z)], axis=-1)
