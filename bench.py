@@ -3,30 +3,62 @@
 Primary metric (BASELINE.json north star): env-steps/sec/chip of the FULL
 fused PPO train epoch — physics + DR + resets + sensors (tactile 3×64×64 and
 96×54 depth+seg cameras ON) + rollout + GAE + minibatch updates in one jit
-graph — at 8192 envs. `vs_baseline` divides by the driver's 10k A100
-IsaacGym reference point (target ≥ 5.0).
+graph — at 8192 envs. `vs_baseline` divides by the driver's ASSUMED 10k A100
+IsaacGym reference point (target ≥ 5.0); the divisor is a pin, not a number
+measured from the reference repo (which publishes none — BASELINE.md).
 
-Extra keys on the same JSON line: the state-only rate at 1024 envs (the
-round-1 metric, for continuity) and an MFU estimate from XLA's cost
-analysis (flops/sec over the v5e bf16 peak — the physics path runs f32
-under ops.f32_matmul, so this is a conservative utilization bound).
+Fail-fast design (round-2 postmortem: a dead TPU backend hung bench.py into
+the driver's rc=124 and the round recorded nothing): every measurement runs
+in a bounded subprocess (`--worker`), so a wedged backend init or compile
+costs one phase's timeout and the orchestrator still prints a complete JSON
+line with an explicit "error" field for whatever failed.
+
+MFU is estimated from XLA cost analysis over the *actual* chip's bf16 peak,
+keyed on jax.devices()[0].device_kind (the physics path runs f32 under
+ops.f32_matmul, so this is a conservative utilization bound).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
+ASSUMED_A100_BASELINE = 10_000.0  # env-steps/sec, IsaacGym factory insertion (assumed pin)
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# bf16 peak FLOPs/s per chip, keyed by jax device_kind substrings.
+PEAK_FLOPS_BY_KIND = [
+    ("v6", 918e12),       # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),  # v5e reports device_kind "TPU v5 lite"
+    ("v5e", 197e12),
+    ("v5", 459e12),       # bare "TPU v5" -> assume v5p
+    ("v4", 275e12),
+]
+DEFAULT_PEAK = 197e12
 
-ASSUMED_A100_BASELINE = 10_000.0  # env-steps/sec, IsaacGym factory insertion
-V5E_BF16_PEAK_FLOPS = 197e12      # per chip
+# first compile of the fused epoch through the axon tunnel takes ~15 min;
+# bound each measurement well above that but still finite (fail-fast goal)
+WORKER_TIMEOUT_S = int(os.environ.get("IGT_BENCH_TIMEOUT", "2700"))
 
+
+def peak_flops(device_kind: str) -> float:
+    dk = device_kind.lower()
+    for key, peak in PEAK_FLOPS_BY_KIND:
+        if key in dk:
+            return peak
+    return DEFAULT_PEAK
+
+
+# --------------------------------------------------------------------------
+# worker: one measurement in one process (bounded by the orchestrator)
+# --------------------------------------------------------------------------
 
 def build_epoch(cfg, n_envs, horizon=64):
+    import jax
+
     from isaacgyminsertion_tpu.algo import ppo as ppo_mod
     from isaacgyminsertion_tpu.assets import build_subassembly_set
     from isaacgyminsertion_tpu.physics.robot import build_kuka_openhand
@@ -41,6 +73,8 @@ def build_epoch(cfg, n_envs, horizon=64):
 
 
 def measure(step, state, n_envs, horizon, epochs=3):
+    import jax
+
     lowered = step.lower(state)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
@@ -54,58 +88,105 @@ def measure(step, state, n_envs, horizon, epochs=3):
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / epochs
     rate = horizon * n_envs / dt
-    mfu = flops / dt / V5E_BF16_PEAK_FLOPS if flops else 0.0
-    return rate, mfu
+    device_kind = jax.devices()[0].device_kind
+    mfu = flops / dt / peak_flops(device_kind) if flops else 0.0
+    return rate, mfu, device_kind
 
 
-def main(n_ns=8192, n_so=1024, horizon=64):
+def worker(mode: str, n_envs: int, horizon: int) -> None:
+    """Run one measurement; print one JSON line; exit 0 on success."""
     import dataclasses
-    import sys
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from isaacgyminsertion_tpu.envs.config import default_task_config
 
     base = default_task_config()
+    if mode == "sensors":
+        # render_capacity=0.75: render-on-demand gathers only the env rows
+        # that consume a fresh frame this step (expected consume fraction
+        # 0.675 with max_skip=2 + delay 0.1); what the policy observes is
+        # unchanged up to the vanishing binomial tail, so this is the honest
+        # sensors-on number.
+        cfg = base.replace(env=dataclasses.replace(
+            base.env, tactile=True, external_cam=True, depth_cam=True,
+            seg_cam=True, render_capacity=0.75))
+    else:
+        cfg = base
+    step, state, ppo_cfg = build_epoch(cfg, n_envs, horizon)
+    rate, mfu, device_kind = measure(step, state, n_envs, ppo_cfg.horizon)
+    print(json.dumps({"rate": rate, "mfu": mfu, "device_kind": device_kind}))
+
+
+def run_worker(mode: str, n_envs: int, horizon: int, timeout: int):
+    """Bounded subprocess around one measurement. Returns (dict|None, err|None)."""
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--worker", mode, str(n_envs), str(horizon)]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None, f"{mode}@{n_envs}: timeout after {timeout}s"
+    if out.returncode != 0:
+        tail = (out.stderr or out.stdout or "").strip().splitlines()[-3:]
+        return None, f"{mode}@{n_envs}: rc={out.returncode}: " + " | ".join(tail)[-400:]
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line), None
+        except json.JSONDecodeError:
+            continue
+    return None, f"{mode}@{n_envs}: no JSON in worker output"
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def main(n_ns=8192, n_so=1024, horizon=64):
+    errors = []
 
     # north star: 8192 envs, tactile + depth(+seg) cameras on. If the chip
     # can't take the full batch (HBM, or a transient backend fault), degrade
     # to the largest sensors-on batch that runs rather than reporting nothing.
-    # render_capacity=0.75: render-on-demand gathers only the env rows that
-    # consume a fresh frame this step (expected consume fraction 0.675 with
-    # max_skip=2 + delay 0.1); what the policy observes is unchanged up to the
-    # vanishing binomial tail, so this is the honest sensors-on number.
-    cfg_ns = base.replace(env=dataclasses.replace(
-        base.env, tactile=True, external_cam=True, depth_cam=True,
-        seg_cam=True, render_capacity=0.75))
-    rate_ns = mfu_ns = 0.0
+    ns = None
+    n_used = n_ns
     for n_try in (n_ns, n_ns // 2, n_ns // 4):
-        try:
-            step, state, ppo_cfg = build_epoch(cfg_ns, n_try, horizon)
-            rate_ns, mfu_ns = measure(step, state, n_try, ppo_cfg.horizon)
-            n_ns = n_try
+        ns, err = run_worker("sensors", n_try, horizon, WORKER_TIMEOUT_S)
+        if ns is not None:
+            n_used = n_try
             break
-        except Exception as e:  # OOM / backend fault: try the next size down
-            print(f"bench: sensors-on @{n_try} failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
-            if n_try == n_ns // 4:
-                raise
+        errors.append(err)
+        print(f"bench: {err}", file=sys.stderr)
 
-    # round-1 continuity metric: state-only at 1024 envs
-    step1, state1, ppo_cfg = build_epoch(base, n_so, horizon)
-    rate_so, _ = measure(step1, state1, n_so, ppo_cfg.horizon)
+    so, err = run_worker("state", n_so, horizon, WORKER_TIMEOUT_S)
+    if so is None:
+        errors.append(err)
+        print(f"bench: {err}", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": f"ppo_env_steps_per_sec_sensors_on_{n_ns}",
+    rate_ns = ns["rate"] if ns else 0.0
+    out = {
+        "metric": f"ppo_env_steps_per_sec_sensors_on_{n_used}",
         "value": round(rate_ns, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(rate_ns / ASSUMED_A100_BASELINE, 3),
-        f"state_only_{n_so}": round(rate_so, 1),
-        "mfu_estimate": round(mfu_ns, 4),
-        "config": f"{n_ns} envs, tactile 3x64x64 + depth/seg 96x54, "
+        "vs_baseline_note": "divisor is the driver's assumed 10k A100 env-steps/s pin (reference publishes no numbers)",
+        f"state_only_{n_so}": round(so["rate"], 1) if so else 0.0,
+        "mfu_estimate": round(ns["mfu"], 4) if ns else 0.0,
+        "device_kind": (ns or so or {}).get("device_kind", "unknown"),
+        "config": f"{n_used} envs, tactile 3x64x64 + depth/seg 96x54, "
                   f"render_capacity 0.75, horizon {horizon}",
-    }))
+    }
+    if errors:
+        out["error"] = "; ".join(e for e in errors if e)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    import sys
-
-    main(*[int(a) for a in sys.argv[1:4]])
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main(*[int(a) for a in sys.argv[1:4]])

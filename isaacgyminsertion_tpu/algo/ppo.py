@@ -116,6 +116,7 @@ class Transition(NamedTuple):
     dones: jax.Array
     mu: jax.Array
     sigma: jax.Array
+    succ: jax.Array  # engaged-success flag, for collapse diagnostics only
 
 
 def build(cfg_task: TaskConfig, ppo_cfg: PPOConfig, model, subs, n_envs: int, rng,
@@ -203,11 +204,15 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
             obs=obs, priv=priv, actions=actions, neglogp=neglogp, values=value,
             rewards=shaped, dones=out.reset.astype(jnp.float32), mu=mu,
             sigma=jnp.exp(log_std) * jnp.ones_like(mu),
+            succ=env_state.success_reset_buf.astype(jnp.float32),
         )
         metrics = {
             "reward": jnp.mean(out.rew),
             "success": jnp.mean(out.extras["successes"]),
             "dones": jnp.sum(out.reset.astype(jnp.float32)),
+            # render-on-demand starvation (rows/step that kept a stale frame
+            # past capacity); visible in TB so a starved config is loud
+            "render_overflow": out.extras["render_overflow"][0],
         }
         return (env_state, params, obs_rms, priv_rms, value_rms, rng), (tr, metrics)
 
@@ -264,6 +269,29 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
             a = batch["advs"]
             batch["advs"] = (a - jnp.mean(a)) / (jnp.std(a) + 1e-8)
 
+        # ---------------- collapse diagnostics (VERDICT r2: root-cause the
+        # post-peak collapse rather than only countering it). Split the value
+        # error and advantages by inserted-vs-not states: if the critic
+        # diverges specifically on success states (suspect: the 0.01-reward
+        # timeout bootstrap quirk, frozen_ppo.py:677-683), these curves show
+        # it at the collapse point.
+        succ_m = traj.succ
+        fail_m = 1.0 - succ_m
+        n_s = jnp.sum(succ_m) + 1e-8
+        n_f = jnp.sum(fail_m) + 1e-8
+        verr = returns - traj.values  # unnormalized TD(λ) value error
+        diag = {
+            "diag/value_error_abs": jnp.mean(jnp.abs(verr)),
+            "diag/value_error_success": jnp.sum(jnp.abs(verr) * succ_m) / n_s,
+            "diag/value_error_fail": jnp.sum(jnp.abs(verr) * fail_m) / n_f,
+            "diag/adv_success": jnp.sum(advs * succ_m) / n_s,
+            "diag/adv_fail": jnp.sum(advs * fail_m) / n_f,
+            "diag/adv_std": jnp.std(advs),
+            "diag/success_state_frac": jnp.mean(succ_m),
+            "diag/value_mean": jnp.mean(traj.values),
+            "diag/return_mean": jnp.mean(returns),
+        }
+
         B = ppo_cfg.horizon * traj.obs.shape[1]
         # reference quirk: minibatch = batch // mini_epochs (frozen_ppo.py:215)
         mb_size = B // ppo_cfg.mini_epochs
@@ -301,7 +329,9 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
                 + b_loss * ppo_cfg.bounds_loss_coef
             )
             kl = policy_kl(mu, jnp.exp(log_std) * jnp.ones_like(mu), mb["mu"], mb["sigma"])
-            aux = {"a_loss": a_loss, "c_loss": c_loss, "b_loss": b_loss, "kl": kl}
+            clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > ppo_cfg.e_clip).astype(jnp.float32))
+            aux = {"a_loss": a_loss, "c_loss": c_loss, "b_loss": b_loss, "kl": kl,
+                   "diag/entropy": entropy, "diag/clip_frac": clip_frac}
             if ppo_cfg.anchor_coef > 0:
                 mu_a, log_std_a, _, _, _ = net.apply(state.anchor_params, o, p)
                 kl_anchor = policy_kl(
@@ -336,7 +366,7 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
         )
         aux = jax.tree_util.tree_map(jnp.mean, aux)
         roll = jax.tree_util.tree_map(jnp.mean, roll_metrics)
-        metrics = {**aux, **{f"episode/{k}": v for k, v in roll.items()}}
+        metrics = {**aux, **diag, **{f"episode/{k}": v for k, v in roll.items()}}
 
         if ppo_cfg.lr_schedule == "kl":
             # AdaptiveScheduler.update (frozen_ppo.py:864-877), applied

@@ -102,6 +102,11 @@ class PPOTrainer:
         self._best_tree = None
         self._decline = 0
         self._cur_lr = ppo_cfg.learning_rate
+        # terminal state: once the LR has hit anneal_min_lr and patience
+        # trips again, the ladder has nothing left — stop instead of
+        # restore-spamming the same checkpoint forever (round-2 postmortem:
+        # teacher_r2e burned hours emitting identical restore lines)
+        self._anneal_exhausted = False
         self.ckpt.dump_config({"task": cfg_task, "ppo": ppo_cfg, "num_envs": n_envs})
 
     def _ckpt_tree(self):
@@ -155,6 +160,10 @@ class PPOTrainer:
                 self.writer.write(int(agent_steps), {"eval/success_rate": sr})
                 self.ckpt.maybe_save_best(self._ckpt_tree(), float("-inf"), sr)
                 self._anneal_step(sr)
+                if self._anneal_exhausted:
+                    print(f"[anneal] exhausted at lr={self._cur_lr:.2e}; "
+                          f"stopping at best eval {self._best_eval:.3f}", flush=True)
+                    break
             if agent_steps >= self.ppo_cfg.max_agent_steps:
                 break
         self.ckpt.save_last(self._ckpt_tree(), int(float(self.state.agent_steps)))
@@ -189,6 +198,11 @@ class PPOTrainer:
         self._decline += 1
         if self._decline < self.ppo_cfg.anneal_patience or self._best_tree is None:
             return
+        if self._cur_lr <= self.ppo_cfg.anneal_min_lr:
+            # already at the LR floor and declining again: the ladder is
+            # exhausted. Restore the best once so the saved `last` equals the
+            # best, then signal the train loop to stop.
+            self._anneal_exhausted = True
         # restore the best-eval params/normalizers, fresh Adam moments,
         # decayed LR; env_state keeps rolling (fresh exploration)
         t = self._best_tree

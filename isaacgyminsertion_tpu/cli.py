@@ -66,6 +66,10 @@ _KEYMAP = {
     "task.env.maxObjectSkipObs": ("task", "env.max_object_skip_obs"),
     "task.env.maxSkipImg": ("task", "env.max_skip_img"),
     "task.env.maxSkipTactile": ("task", "env.max_skip_tactile"),
+    "task.env.actionEma": ("task", "env.action_ema"),
+    "task.env.actionsMovingAverage.range": ("task", "env.actions_moving_average_range"),
+    "task.env.actionsMovingAverage.schedule_steps": ("task", "env.actions_moving_average_schedule_steps"),
+    "task.env.actionsMovingAverage.schedule_freq": ("task", "env.actions_moving_average_schedule_freq"),
     # randomization_params (envs/dr.py NoiseSpec fields)
     "task.randomize.randomization_params.frequency": ("task", "randomize.frequency"),
     "task.randomize.randomization_params.observations.range": ("task", "randomize.observations.range"),
@@ -94,7 +98,6 @@ _KEYMAP = {
     "train.ppo.entropy_coef": ("ppo", "entropy_coef"),
     "train.ppo.bounds_loss_coef": ("ppo", "bounds_loss_coef"),
     "train.ppo.grad_norm": ("ppo", "grad_norm"),
-    "train.ppo.truncate_grads": ("ppo", "grad_norm"),  # accepted alias
     "train.ppo.kl_threshold": ("ppo", "kl_threshold"),
     "train.ppo.lr_schedule": ("ppo", "lr_schedule"),
     "train.ppo.anneal_ladder": ("ppo", "anneal_ladder"),
@@ -198,6 +201,15 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["eval_envs"] = int(val)
         elif k in ("eval_freq_steps",):
             out["eval_freq_steps"] = float(val)
+        elif k == "train.ppo.truncate_grads":
+            # reference yaml boolean (frozen_ppo truncate_grads): True keeps
+            # the configured grad_norm clip, False disables clipping. Never
+            # write the boolean into the float grad_norm (False would become
+            # clip-at-0 and silently zero every gradient).
+            if not isinstance(val, bool):
+                raise SystemExit("train.ppo.truncate_grads expects true/false")
+            if not val:
+                out["ppo"] = _set_path(out["ppo"], "grad_norm", float("inf"))
         elif k == "task":
             pass  # single task family; accepted for recipe compatibility
         elif k in _KEYMAP:

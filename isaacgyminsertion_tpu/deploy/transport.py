@@ -37,6 +37,10 @@ _MAGIC = 0x42574849
 # codec (native with pure-python fallback)
 # --------------------------------------------------------------------------- #
 
+class CodecError(ValueError):
+    """Malformed hwbridge message (bad magic / truncated / oversized field)."""
+
+
 def _py_pack(msg: dict[str, np.ndarray]) -> bytes:
     out = [struct.pack("<II", _MAGIC, len(msg))]
     for name, arr in msg.items():
@@ -45,6 +49,10 @@ def _py_pack(msg: dict[str, np.ndarray]) -> bytes:
         arr = np.asarray(arr)
         code = _DTYPE_CODES[np.dtype(arr.dtype)]
         nb = name.encode()
+        if len(nb) > 255:
+            # contract shared with the native codec (hwbridge.cpp hwb_pack):
+            # names are <256 bytes so both unpack paths agree byte-for-byte
+            raise CodecError(f"hwbridge array name too long ({len(nb)} bytes)")
         out.append(struct.pack("<I", len(nb)))
         out.append(nb)
         out.append(struct.pack("<II", code, arr.ndim))
@@ -56,24 +64,38 @@ def _py_pack(msg: dict[str, np.ndarray]) -> bytes:
 
 
 def _py_unpack(buf: bytes) -> dict[str, np.ndarray]:
+    # real exceptions (not assert: stripped under python -O) so the server
+    # can drop a malformed connection gracefully instead of crashing
+    if len(buf) < 8:
+        raise CodecError("hwbridge message truncated")
     magic, n = struct.unpack_from("<II", buf, 0)
-    assert magic == _MAGIC, "bad hwbridge magic"
+    if magic != _MAGIC:
+        raise CodecError("bad hwbridge magic")
     off = 8
     msg = {}
-    for _ in range(n):
-        (name_len,) = struct.unpack_from("<I", buf, off)
-        off += 4
-        name = buf[off:off + name_len].decode()
-        off += name_len
-        code, ndim = struct.unpack_from("<II", buf, off)
-        off += 8
-        dims = struct.unpack_from(f"<{ndim}Q", buf, off) if ndim else ()
-        off += 8 * ndim
-        (plen,) = struct.unpack_from("<Q", buf, off)
-        off += 8
-        dtype = _CODE_DTYPES[code]
-        msg[name] = np.frombuffer(buf[off:off + plen], dtype=dtype).reshape(dims).copy()
-        off += plen
+    try:
+        for _ in range(n):
+            (name_len,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            name = buf[off:off + name_len].decode()
+            off += name_len
+            code, ndim = struct.unpack_from("<II", buf, off)
+            off += 8
+            dims = struct.unpack_from(f"<{ndim}Q", buf, off) if ndim else ()
+            off += 8 * ndim
+            (plen,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            if plen > len(buf) - off:
+                raise CodecError("hwbridge payload overruns message")
+            dtype = _CODE_DTYPES.get(code)
+            if dtype is None:
+                raise CodecError(f"unknown hwbridge dtype code {code}")
+            msg[name] = np.frombuffer(buf[off:off + plen], dtype=dtype).reshape(dims).copy()
+            off += plen
+    except (struct.error, UnicodeDecodeError, ValueError) as e:
+        if isinstance(e, CodecError):
+            raise
+        raise CodecError(f"malformed hwbridge message: {e}") from e
     return msg
 
 
@@ -158,10 +180,15 @@ def unpack(buf: bytes) -> dict[str, np.ndarray]:
                                  ctypes.byref(plen))
         if off < 0:
             return _py_unpack(buf)
-        dtype = _CODE_DTYPES[code.value]
+        dtype = _CODE_DTYPES.get(code.value)
+        if dtype is None:
+            raise CodecError(f"unknown hwbridge dtype code {code.value}")
         shape = tuple(dims[d] for d in range(ndim.value))
         arr = np.frombuffer(buf[off:off + plen.value], dtype=dtype)
-        msg[name.value.decode()] = arr.reshape(shape).copy()
+        try:
+            msg[name.value.decode()] = arr.reshape(shape).copy()
+        except ValueError as e:  # payload_len inconsistent with dims
+            raise CodecError(f"malformed hwbridge message: {e}") from e
     return msg
 
 
@@ -232,8 +259,12 @@ def serve_hardware(hw, host: str = "127.0.0.1", port: int = 7451,
             while max_requests is None or count < max_requests:
                 try:
                     msg = _recv_msg(self.request)
-                except (ConnectionError, struct.error):
+                except (ConnectionError, struct.error, CodecError):
+                    # malformed input drops this connection; the server and
+                    # other sessions keep running
                     return
+                if "_op" not in msg:
+                    return  # not a valid RPC frame: drop the connection
                 op = msg.pop("_op").tobytes().decode()
                 if op == "reset":
                     hw.reset()

@@ -57,6 +57,15 @@ class EnvConfig:
     action_latency_cur_max: int = 10      # env.actionLatencyMax (annealed cap)
     action_latency_scheduled_steps: int = 10_000_000
     action_delay_prob_max: float = 0.2
+    # DEVIATION from reference (documented): the reference computes this EMA
+    # schedule scalar but never blends with it (factory_task_insertion.py:
+    # 585-600 only logs it). With action_ema=True we apply the DeXtreme-style
+    # smoothing the schedule exists for — a deliberate training lever that
+    # measurably reduced degrasp collapse (ROUND2_NOTES §3). Set False for
+    # exact reference action dynamics. All banked round-2+ teacher/student
+    # checkpoints were trained AND evaluated with it on, so their
+    # authoritative numbers assume the default.
+    action_ema: bool = True
     actions_moving_average_range: tuple = (0.15, 0.35)
     actions_moving_average_schedule_steps: int = 1_000_000
     actions_moving_average_schedule_freq: int = 500

@@ -386,9 +386,13 @@ def _sample_episode(
     )
 
     gravity = jnp.full((n,), 0.0 if cfg.sim.disable_gravity else cfg.sim.gravity, jnp.float32)
-    if cfg.randomize.domain_randomize:
+    if cfg.randomize.domain_randomize and not cfg.sim.disable_gravity:
         # sim_params.gravity DR (vec_task.py:736-748: additive gaussian 0.4),
-        # refreshed once per randomization window = per episode here
+        # refreshed once per randomization window = per episode here. Skipped
+        # when disable_gravity: the reference plug actor has
+        # disable_gravity=True (factory_env_insertion.py:665), so its
+        # sim-param gravity DR never perturbs the plug — applying noise here
+        # would give the gravity-free plug a random constant acceleration.
         kg = jax.random.fold_in(keys[10], 3)
         gravity = dr_mod.apply_noise(
             cfg.randomize.gravity, kg,
@@ -777,15 +781,19 @@ def step(
     # the scalar anneals upper → lower over schedule_steps, refreshed every
     # schedule_freq global steps. NOTE the reference computes and logs this
     # scalar but never blends with it (update_action_moving_average's output
-    # is only written to extras); we apply the DeXtreme-style smoothing the
-    # schedule exists for: a_t = ema·a_cmd + (1−ema)·a_{t−1,applied}.
+    # is only written to extras); with cfg.env.action_ema (default True, a
+    # documented deviation — see EnvConfig) we apply the DeXtreme-style
+    # smoothing the schedule exists for:
+    # a_t = ema·a_cmd + (1−ema)·a_{t−1,applied}.
     ma_lo, ma_up = cfg.env.actions_moving_average_range
     ma_steps = max(cfg.env.actions_moving_average_schedule_steps, 1)
     ma_freq = max(cfg.env.actions_moving_average_schedule_freq, 1)
     quant = (state.global_step // ma_freq) * ma_freq
     ma_frac = jnp.minimum(quant, ma_steps).astype(jnp.float32) / float(ma_steps)
     act_ma = ma_up + (ma_lo - ma_up) * ma_frac
-    actions_applied = act_ma * actions_applied + (1.0 - act_ma) * state.applied_actions
+    if cfg.env.action_ema:
+        actions_applied = (act_ma * actions_applied
+                           + (1.0 - act_ma) * state.applied_actions)
 
     # action scale DR (scale_noise_pos/rot, _apply_actions_as_ctrl_targets)
     pos_scale = jnp.asarray(cfg.rl.pos_action_scale)
@@ -897,11 +905,19 @@ def step(
     # rows (e.g. every env in its post-reset initial window) drains across
     # consecutive steps instead of starving the high indices forever.
     use_sel = 0.0 < cfg.env.render_capacity < 1.0
+    # overflow telemetry: consumers past capacity keep a stale frame — safe
+    # when rare, but a starved config silently changes observation statistics,
+    # so count the dropped consumers per step into extras (VERDICT r2)
+    render_overflow = jnp.zeros((), jnp.float32)
 
     def _render_sel(prio):
         k = min(n, max(8, -(-int(cfg.env.render_capacity * n) // 8) * 8))
         rotate = (jnp.arange(n) + state.global_step * 7919) % n
         return jnp.argsort(prio.astype(jnp.int32) * n + rotate)[:k]
+
+    def _overflow_of(sel, consume):
+        in_sel = jnp.zeros((n,), bool).at[sel].set(True)
+        return jnp.sum((consume & ~in_sel).astype(jnp.float32))
 
     def _scatter_latest(sel, upd, new_rows, prev):
         rows = _where(upd[sel], new_rows, prev[sel])
@@ -918,6 +934,8 @@ def step(
         # (factory_env_insertion.py:1045-1052)
         psc = state.params.plug_scale
         sel_t = _render_sel(jnp.where(t_upd, 0, 1)) if use_sel else None
+        if use_sel:
+            render_overflow = render_overflow + _overflow_of(sel_t, t_upd)
         gt = (lambda x: x[sel_t]) if use_sel else (lambda x: x)
         timg = tact_mod.render_tactile(
             tcfg, gt(tip_q3), gt(tip_t3), gt(phys.plug_quat), gt(phys.plug_pos),
@@ -957,6 +975,9 @@ def step(
             _render_sel(jnp.where(initial, 0, jnp.where(i_refresh, 1, 2)))
             if use_sel else None
         )
+        if use_sel:
+            render_overflow = render_overflow + _overflow_of(
+                sel_c, initial | i_upd | s_upd)
         gc = (lambda x: x[sel_c]) if use_sel else (lambda x: x)
         # the descending hand occludes the scene in the reference's depth/seg
         # frames (kuka actor seg id 1, factory_env_insertion.py:814-848):
@@ -1114,6 +1135,9 @@ def step(
         "ep_reward": ep_reward,
         # annealing telemetry (reference extras['annealing/...'])
         "action_moving_average_scalar": jnp.broadcast_to(act_ma, (n,)),
+        # render-on-demand starvation: env rows that wanted a fresh sensor
+        # frame this step but were past render_capacity (0 when capacity=1)
+        "render_overflow": jnp.broadcast_to(render_overflow, (n,)),
     }
 
     new_state = state._replace(

@@ -64,7 +64,9 @@ uint64_t hwb_pack(uint32_t n_arrays, const char** names,
   put_u32(buf, n_arrays);
   size_t dim_off = 0;
   for (uint32_t i = 0; i < n_arrays; ++i) {
-    uint32_t name_len = static_cast<uint32_t>(strlen(names[i]));
+    size_t raw_len = strlen(names[i]);
+    if (raw_len > 255) return 0;  // keep both codecs' name contract: <256 bytes
+    uint32_t name_len = static_cast<uint32_t>(raw_len);
     put_u32(buf, name_len);
     buf.insert(buf.end(), names[i], names[i] + name_len);
     put_u32(buf, dtype_codes[i]);
@@ -127,11 +129,13 @@ int64_t hwb_array_info(const uint8_t* buf, uint64_t len, uint32_t idx,
     uint64_t plen;
     memcpy(&plen, buf + off, 8);
     off += 8;
-    if (off + plen > len) return -1;
+    // subtract-form bounds check: `off + plen > len` wraps for a crafted
+    // plen near 2^64 and would pass; off <= len is guaranteed above
+    if (plen > len - off) return -1;
     if (i == idx) {
-      uint32_t cp = name_len < name_cap - 1 ? name_len : name_cap - 1;
-      memcpy(name_out, nm, cp);
-      name_out[cp] = 0;
+      if (name_cap == 0 || name_len > name_cap - 1) return -1;  // never truncate names
+      memcpy(name_out, nm, name_len);
+      name_out[name_len] = 0;
       *dtype_code = dc;
       *ndim = nd;
       memcpy(dims_out, dims, 8ull * nd);

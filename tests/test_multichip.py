@@ -45,6 +45,45 @@ def test_ppo_epoch_under_dp_sharding_matches_single_device():
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_sensors_on_epoch_under_dp_sharding_matches_single_device():
+    """The sensor path — render-on-demand argsort/gather, sensor FIFO queues,
+    tactile/depth/seg/pcl renderers — compiled and executed under a dp-sharded
+    mesh must produce the same frames as the single-device layout (GSPMD
+    gathers across shard boundaries are where sharding breaks silently;
+    VERDICT r2). Reference DP all-reduce parity: frozen_ppo.py:586-603."""
+    import dataclasses
+
+    cfg0 = default_task_config()
+    cfg = cfg0.replace(env=dataclasses.replace(
+        cfg0.env, tactile=True, external_cam=True, depth_cam=True,
+        seg_cam=True, pcl_cam=True, render_capacity=0.75))
+    model = build_kuka_openhand()
+    subs = build_subassembly_set(names=("yellow_round_peg_2in",))
+    ppo_cfg = ppo_mod.PPOConfig(horizon=2, mini_epochs=1)
+    n_envs = 16
+
+    net, tx, state, train_epoch = ppo_mod.build(
+        cfg, ppo_cfg, model, subs, n_envs, jax.random.PRNGKey(3)
+    )
+    step = jax.jit(train_epoch)
+
+    s1, m1 = step(state)
+
+    mesh = make_mesh()
+    env_state = shard_env_batch(state.env_state, mesh)
+    rest = replicate(state._replace(env_state=None), mesh)
+    sharded = rest._replace(env_state=env_state)
+    s2, m2 = step(sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+    # sharded-vs-single sensor-frame equivalence (tactile / img / seg / pcl):
+    # same seeds → identical render selections and frames up to layout
+    for name in ("tactile_queue", "img_queue", "seg_queue", "pcl_queue"):
+        a = np.asarray(getattr(s1.env_state, name), np.float32)
+        b = np.asarray(getattr(s2.env_state, name), np.float32)
+        np.testing.assert_allclose(a, b, atol=2e-3, err_msg=name)
+
+
 def test_env_state_sharding_layout():
     mesh = make_mesh()
     cfg = default_task_config()

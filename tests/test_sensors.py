@@ -221,11 +221,15 @@ def test_render_on_demand_matches_full_render():
 
     sf = ss = state0
     any_stale = False
+    overflow_trace = []
     for i in range(12):
         a = jnp.zeros((n, 6))
         prev_f, prev_s = sf, ss
         sf, of = step_full(sf, a)
         ss, os_ = step_sel(ss, a)
+        # overflow telemetry: full render never drops a consumer...
+        assert float(of.extras["render_overflow"][0]) == 0.0
+        overflow_trace.append(float(os_.extras["render_overflow"][0]))
         # same rng stream → identical refresh/delay decisions; the sel path
         # renders a capacity-bounded subset of the full path's consumers
         for name, qf, qs, qfp, qsp in [
@@ -257,3 +261,10 @@ def test_render_on_demand_matches_full_render():
     sock = ss.pcl_queue[:, 0, s0:s1]
     assert bool(jnp.all(jnp.any(sock != 0.0, axis=(1, 2)))), (
         "an env missed its frozen socket capture")
+    # ...while the sel path's counter is loud during the step-0 mass-reset
+    # burst (32 initial consumers > 24-row capacity) and quiet once the
+    # rotating tie-break has drained it: the default max_skip/delay config
+    # must show zero steady-state starvation
+    assert overflow_trace[0] > 0.0, "burst overflow not counted"
+    assert all(v == 0.0 for v in overflow_trace[-2:]), (
+        f"steady-state render starvation: {overflow_trace}")
