@@ -138,3 +138,40 @@ def test_composite_env_over_transport():
     finally:
         srv.shutdown()
         env.close()
+
+
+def test_real_driver_examples_guarded_and_mapped():
+    """deploy/drivers.py: real-SDK drivers raise DriverUnavailable cleanly
+    when their SDK is absent (this CI host has none), and the Dynamixel
+    servo<->gripper-vector mapping round-trips on the tendon-driven dofs."""
+    import pytest
+
+    from isaacgyminsertion_tpu.deploy import drivers
+    from isaacgyminsertion_tpu.envs.config import OpenhandConfig
+
+    for cls, kwargs in ((drivers.ZedCamera, {}),
+                        (drivers.SerialOpenhand, {}),
+                        (drivers.UsbAllsight, {})):
+        with pytest.raises(drivers.DriverUnavailable):
+            cls(**kwargs)
+
+    # mapping consistency without a serial bus: construct bare and exercise
+    # the pure converters
+    h = object.__new__(drivers.SerialOpenhand)
+    h.oh = OpenhandConfig()
+    h.motor_ids = (1, 2, 3, 4)
+    o = h.oh
+    vec = np.array([o.base_angle,
+                    o.proximal_open + 0.3, o.distal_open + 0.12,
+                    o.proximal_open + 0.2, o.distal_open + 0.08,
+                    o.proximal_open + 0.1, o.distal_open + 0.04,
+                    0.05], np.float32)
+    back = h._servo_to_vec(h._vec_to_servo(vec))
+    # proximal + spread round-trip exactly; distal follows the tendon ratio
+    np.testing.assert_allclose(back[[1, 3, 5, 7]], vec[[1, 3, 5, 7]], atol=1e-5)
+    np.testing.assert_allclose(back[[2, 4, 6]], vec[[2, 4, 6]], atol=1e-5)
+
+    # numpy-only resize used by the ZED depth path
+    img = np.arange(12, dtype=np.float32).reshape(3, 4)
+    out = drivers._resize_nn(img, (2, 2))
+    assert out.shape == (2, 2)
