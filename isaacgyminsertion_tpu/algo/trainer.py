@@ -268,39 +268,50 @@ def make_student_eval_fn(cfg_task, da_cfg, model, subs, teacher_net, teacher,
 
     student_act = ea.make_student_act(cfg_task, da_cfg, teacher_net, teacher, student)
 
-    def chunk_fn(student_params, stud_obs_rms, pcl_rms, env_state, alive, ever):
+    def chunk_fn(student_params, stud_obs_rms, pcl_rms, env_state, alive, ever,
+                 pcl_noise_std, noise_key):
         # first-episode success only: once an env resets (for any reason) it
         # stops counting, so auto-resetting episodes in the window don't
         # inflate the rate (agent.test() per-episode parity)
         def body(carry, _):
-            env_state, alive, ever = carry
+            env_state, alive, ever, nk = carry
             da_like = ea.DAggerState(
                 student_params=None, opt_state=None, stud_obs_rms=stud_obs_rms,
                 pcl_rms=pcl_rms, env_state=env_state, rng=jnp.zeros((2,), jnp.uint32),
                 epoch=jnp.zeros((), jnp.int32), agent_steps=jnp.zeros(()),
             )
             prev_out = ea._prev_out_of(env_state, cfg_task)
+            # test-time pcl perturbation for the robustness study
+            # (ext_adapt.py:437-561 noise sweep): traced std so one compile
+            # serves every noise level
+            nk, kn = jax.random.split(nk)
+            if prev_out.pcl is not None and prev_out.pcl.size:
+                noisy = prev_out.pcl + pcl_noise_std * jax.random.normal(
+                    kn, prev_out.pcl.shape, prev_out.pcl.dtype)
+                prev_out = prev_out._replace(pcl=noisy)
             acts, _ = student_act(student_params, da_like,
                                   env_state.obs_stud_queue, prev_out)
             env_state, out = insertion.step(cfg_task, model, subs, env_state, acts)
             ever = jnp.maximum(ever, out.extras["successes"] * alive)
             alive = alive * (1.0 - out.reset.astype(jnp.float32))
-            return (env_state, alive, ever), None
+            return (env_state, alive, ever, nk), None
 
-        (env_state, alive, ever), _ = jax.lax.scan(
-            body, (env_state, alive, ever), None, length=chunk)
+        (env_state, alive, ever, _), _ = jax.lax.scan(
+            body, (env_state, alive, ever, noise_key), None, length=chunk)
         return env_state, alive, ever
 
     chunk_jit = jax.jit(chunk_fn)
 
-    def evaluate(student_params, stud_obs_rms, pcl_rms, rng):
+    def evaluate(student_params, stud_obs_rms, pcl_rms, rng, pcl_noise_std=0.0):
         env_state = insertion.reset_all(cfg_task, model, subs, rng, n_envs)
         ever_success = jnp.zeros((n_envs,))
         alive = jnp.ones((n_envs,))
+        std = jnp.asarray(pcl_noise_std, jnp.float32)
         steps = cfg_task.rl.max_episode_length
-        for _ in range(max(-(-steps // chunk), 1)):  # ceil: cover all steps
+        for i in range(max(-(-steps // chunk), 1)):  # ceil: cover all steps
             env_state, alive, ever_success = chunk_jit(
-                student_params, stud_obs_rms, pcl_rms, env_state, alive, ever_success)
+                student_params, stud_obs_rms, pcl_rms, env_state, alive,
+                ever_success, std, jax.random.fold_in(rng, i + 1))
         # an episode still running at the horizon counts its current success
         ever_success = jnp.maximum(
             ever_success, env_state.success_reset_buf.astype(jnp.float32) * alive)
@@ -348,9 +359,21 @@ class DAggerTrainer:
     def train(self, max_epochs: int = 1000, save_freq: int = 50):
         steps_per_epoch = self.da_cfg.horizon * self.n_envs
         t_start = time.perf_counter()
+        bad_epochs = 0
         for _ in range(max_epochs):
             self.state, metrics = self.train_epoch(self.state)
             metrics = {k: float(v) for k, v in metrics.items()}
+            # fail fast on divergence: a NaN loss never recovers (the RMS
+            # state is poisoned) — abort instead of burning chip time
+            if not np.isfinite(metrics["loss"]):
+                bad_epochs += 1
+                if bad_epochs >= 3:
+                    raise RuntimeError(
+                        f"[dagger] loss non-finite for {bad_epochs} consecutive "
+                        f"epochs (epoch {int(self.state.epoch)}): {metrics} — "
+                        "aborting; check sensor inputs / teacher checkpoint")
+            else:
+                bad_epochs = 0
             epoch = int(self.state.epoch)
             agent_steps = float(self.state.agent_steps)
             self.success_meter.update(metrics["episode/success"])
@@ -394,23 +417,35 @@ class DAggerTrainer:
         return sr
 
     def test_log(self, noise_levels=(0.0, 0.002, 0.005, 0.01), trials: int = 3,
-                 epochs_per_trial: int = 2):
-        """Robustness study: sweep pcl/obs noise, report mean±std success
-        (ext_adapt.py:437-561 noise-sweep parity). Writes results + a plot."""
+                 eval_envs: int | None = None):
+        """Robustness study: student-driven first-episode eval under test-time
+        pcl noise σ ∈ noise_levels, mean±std success over trials
+        (ext_adapt.py:437-561 noise-sweep parity). The noise std is a traced
+        scalar, so all levels share ONE compiled eval. Writes results + plot."""
         import numpy as np
 
+        from ..models.actor_critic import ActorCriticSplit
+
+        obs_dim = self.cfg_task.env.num_obs_hist * self.cfg_task.env.num_observations
+        teacher_net = ActorCriticSplit(
+            num_actions=self.cfg_task.env.num_actions, obs_dim=obs_dim,
+            priv_dim=self.cfg_task.env.num_states,
+        )
+        eval_fn = make_student_eval_fn(
+            self.cfg_task, self.da_cfg, self.model, self.subs, teacher_net,
+            self.teacher, self.student, eval_envs or min(self.n_envs, 64),
+        )
         results = {}
-        base_rng = self.state.rng
         for noise in noise_levels:
-            succ = []
-            for t in range(trials):
-                st = self.state._replace(
-                    rng=jax.random.fold_in(base_rng, int(noise * 1e4) + t)
-                )
-                for _ in range(epochs_per_trial):
-                    st, metrics = self.train_epoch(st)
-                succ.append(float(metrics["episode/success"]))
+            succ = [
+                eval_fn(self.state.student_params, self.state.stud_obs_rms,
+                        self.state.pcl_rms,
+                        jax.random.PRNGKey(1234 + t), pcl_noise_std=noise)
+                for t in range(trials)
+            ]
             results[noise] = (float(np.mean(succ)), float(np.std(succ)))
+            print(f"noise_study σ={noise}: {results[noise][0]:.4f} "
+                  f"± {results[noise][1]:.4f}")
             self.writer.write(int(noise * 1e4),
                               {"noise_study/success_mean": results[noise][0],
                                "noise_study/success_std": results[noise][1]})

@@ -167,6 +167,7 @@ def parse_args(argv: list[str] | None = None) -> dict:
         gan_checkpoint="",
         eval_envs=None,
         eval_freq_steps=10.0e6,
+        noise_study=False,
     )
     for arg in argv:
         if "=" not in arg:
@@ -201,6 +202,8 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["eval_envs"] = int(val)
         elif k in ("eval_freq_steps",):
             out["eval_freq_steps"] = float(val)
+        elif k in ("noise_study",):
+            out["noise_study"] = bool(val)
         elif k == "train.ppo.truncate_grads":
             # reference yaml boolean (frozen_ppo truncate_grads): True keeps
             # the configured grad_norm clip, False disables clipping. Never
@@ -286,6 +289,9 @@ def main(argv: list[str] | None = None):
                                 gan_ckpt_path=args["gan_checkpoint"])
         if args["test"]:
             trainer.test(eval_envs=args["eval_envs"])
+            if args["noise_study"]:
+                # reference test_log noise sweep (ext_adapt.py:437-561)
+                trainer.test_log(eval_envs=args["eval_envs"])
         else:
             trainer.train(max_epochs=args["max_epochs"] or 1000)
     else:

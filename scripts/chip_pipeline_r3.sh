@@ -49,7 +49,7 @@ for SCK in outputs/student_r3/best_success.ckpt outputs/student_r3/last.ckpt; do
   if [ -f "$SCK" ] && wait_tpu; then
     CKPT="$TEACHER" STUDENT_CKPT="$SCK" NUM_ENVS=256 \
       timeout 2700 bash scripts/eval_s2.sh train.ppo.seg_info=True \
-      > /tmp/r3p_evalS.log 2>&1 && break
+      noise_study=True > /tmp/r3p_evalS.log 2>&1 && break
   fi
 done
 grep -h "Success Rate" /tmp/r3p_evalS.log 2>/dev/null | tail -1

@@ -129,12 +129,28 @@ def test_scaling_operation_identity_at_step0():
     assert np.allclose(np.asarray(out), np.asarray(x), atol=1e-6)
 
 
-def test_gravity_dr_varies_per_env(small_env):
+def test_gravity_dr_skipped_when_disabled(small_env):
     cfg, model, subs, state, step = small_env
+    # ADVICE r2: the reference plug actor has disable_gravity=True
+    # (factory_env_insertion.py:665), so sim-param gravity DR never reaches
+    # it — with the default disable_gravity config the per-env gravity must
+    # stay exactly 0 (no random constant acceleration)
     g = np.asarray(state.params.gravity)
-    # additive gaussian var 0.4 about the disabled-gravity base of 0
+    assert np.allclose(g, 0.0)
+
+
+def test_gravity_dr_varies_per_env():
+    # with gravity enabled, the vec_task.py:736-748 additive gaussian DR
+    # produces per-env spread about the base gravity
+    cfg = default_task_config()
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, substeps=1, solver_iters=2, disable_gravity=False))
+    model = build_kuka_openhand()
+    subs = build_subassembly_set(names=("yellow_round_peg_2in",))
+    state = ins.reset_all(cfg, model, subs, jax.random.PRNGKey(0), 4)
+    g = np.asarray(state.params.gravity)
     assert g.std() > 0.0
-    assert abs(g.mean()) < 2.0
+    assert abs(g.mean() - cfg.sim.gravity) < 2.0
 
 
 # --------------------------------------------------------------------------- #
