@@ -222,6 +222,15 @@ def _tactile_kernel(scal, rays, mask, seed, r_out, g_out, b_out, *,
     if noise_std > 0.0:
         pltpu.prng_seed(seed[0], pl.program_id(0))
 
+        def u24(shape):
+            # prng_random_bits returns SIGNED int32 on TPU hardware (observed:
+            # 50% negative); a plain `>> 8` is an arithmetic shift that keeps
+            # the sign and fed negative "uniforms" into log() → NaN on chip
+            # only (interpret mode never runs this path). Masking the low 24
+            # bits after the shift selects bits [8,32) — uniform in [0, 2^24).
+            bits = pltpu.prng_random_bits(shape)
+            return ((bits >> 8) & 0xFFFFFF).astype(r.dtype) * (2.0 ** -24)
+
         if noise_kind == "ih4":
             # Irwin-Hall(4): sum of 4 uniforms, recentered/rescaled to unit
             # variance — transcendental-free (Box-Muller's log/sqrt/cos/sin
@@ -230,17 +239,14 @@ def _tactile_kernel(scal, rays, mask, seed, r_out, g_out, b_out, *,
             def gauss():
                 s = jnp.zeros_like(r)
                 for _ in range(4):
-                    bits = pltpu.prng_random_bits(r.shape)
-                    s = s + (bits >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24)
+                    s = s + u24(r.shape)
                 return (s - 2.0) * 1.7320508075688772
 
             g1, g2, g3 = gauss(), gauss(), gauss()
         else:
             def gauss_pair():
-                b1 = pltpu.prng_random_bits(r.shape)
-                b2 = pltpu.prng_random_bits(r.shape)
-                u1 = (b1 >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24) + 1e-7
-                u2 = (b2 >> jnp.uint32(8)).astype(r.dtype) * (2.0 ** -24)
+                u1 = u24(r.shape) + 1e-7
+                u2 = u24(r.shape)
                 rad = jnp.sqrt(-2.0 * jnp.log(u1))
                 ang = (2.0 * 3.141592653589793) * u2
                 return rad * jnp.cos(ang), rad * jnp.sin(ang)

@@ -113,3 +113,46 @@ def test_tactile_pallas_exact_matches_march():
     assert (d > 0.1).mean() < 2e-2
     # identical hit footprint: the same pixels see the plug
     assert ((a.mean(-1) > 0.01) == (b.mean(-1) > 0.01)).mean() > 0.995
+
+
+def test_tactile_in_kernel_noise_finite_on_tpu():
+    """TPU-gated regression for the hardware-PRNG noise path.
+
+    pltpu.prng_random_bits returns SIGNED int32 on real TPU, so a plain
+    arithmetic `>> 8` fed ~50% negative "uniforms" into Box-Muller's log()
+    and half the tactile image went NaN — on chip only, since interpret mode
+    falls back to jax.random.normal and never runs the in-kernel sampler
+    (caught live in round 3: state/tactile_queue 50% non-finite by step 10).
+    Asserts finiteness and the noise std for both samplers.
+    """
+    import os
+
+    import pytest
+
+    if not os.environ.get("IGT_TEST_TPU"):
+        pytest.skip("in-kernel PRNG only runs on real TPU (set IGT_TEST_TPU=1)")
+
+    from isaacgyminsertion_tpu.sensors import render_pallas as rp
+
+    r, hw = 8, 4096
+    m = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (r, 1, 1))
+    o = jnp.tile(jnp.array([0.0, 0.0, -0.05], jnp.float32)[None], (r, 1))
+    oh = jnp.tile(jnp.eye(6, dtype=jnp.float32)[0][None], (r, 1))
+    ones = jnp.ones((r,), jnp.float32)
+    rays = jnp.concatenate(
+        [jnp.zeros((hw, 2), jnp.float32), jnp.ones((hw, 1), jnp.float32)], 1)
+    for kind in ("gauss", "ih4"):
+        clean, noisy = [
+            np.asarray(rp.tactile_march_fused(
+                m, o, oh, 0.01 * ones, 0.01 * ones, 0.05 * ones, ones, rays,
+                iters=16, max_range=0.06, max_deformation=0.004,
+                force_range=20.0, exact=True, noise_kind=kind,
+                noise_key=jax.random.PRNGKey(0), noise_std=std))
+            for std in (0.0, 0.02)
+        ]
+        assert np.isfinite(noisy).all(), f"{kind}: NaN from in-kernel PRNG"
+        resid = noisy - clean
+        interior = (clean > 0.05) & (clean < 0.95)  # clip-free pixels
+        assert interior.mean() > 0.1
+        assert abs(resid[interior].std() - 0.02) < 0.004, kind
+        assert abs(resid[interior].mean()) < 0.002, kind
