@@ -114,6 +114,13 @@ def worker(mode: str, n_envs: int, horizon: int) -> None:
         cfg = base.replace(env=dataclasses.replace(
             base.env, tactile=True, external_cam=True, depth_cam=True,
             seg_cam=True, render_capacity=0.75))
+    elif mode == "pcl":
+        # full visuotactile: tactile + depth/seg + POINT CLOUD generation
+        # (BASELINE.json config #5; VERDICT r3 "sensors-on excludes the
+        # point cloud" — measured separately here)
+        cfg = base.replace(env=dataclasses.replace(
+            base.env, tactile=True, external_cam=True, depth_cam=True,
+            seg_cam=True, pcl_cam=True, render_capacity=0.75))
     else:
         cfg = base
     step, state, ppo_cfg = build_epoch(cfg, n_envs, horizon)
@@ -162,19 +169,29 @@ def main(n_ns=8192, n_so=1024, horizon=64):
         errors.append(err)
         print(f"bench: {err}", file=sys.stderr)
 
+    # full-visuotactile config #5 (tactile + depth/seg + pcl) at the same
+    # batch the sensors-on number landed at
+    pc, err = run_worker("pcl", n_used, horizon, WORKER_TIMEOUT_S)
+    if pc is None:
+        errors.append(err)
+        print(f"bench: {err}", file=sys.stderr)
+
     so, err = run_worker("state", n_so, horizon, WORKER_TIMEOUT_S)
     if so is None:
         errors.append(err)
         print(f"bench: {err}", file=sys.stderr)
 
-    rate_ns = ns["rate"] if ns else 0.0
+    # value is null (not 0.0) when every sensors-on attempt failed, so
+    # metric-only parsers record an unambiguous failure (round-3 ADVICE)
+    rate_ns = ns["rate"] if ns else None
     out = {
         "metric": f"ppo_env_steps_per_sec_sensors_on_{n_used}",
-        "value": round(rate_ns, 1),
+        "value": round(rate_ns, 1) if rate_ns is not None else None,
         "unit": "env-steps/s",
-        "vs_baseline": round(rate_ns / ASSUMED_A100_BASELINE, 3),
+        "vs_baseline": round(rate_ns / ASSUMED_A100_BASELINE, 3) if rate_ns is not None else None,
         "vs_baseline_note": "divisor is the driver's assumed 10k A100 env-steps/s pin (reference publishes no numbers)",
         f"state_only_{n_so}": round(so["rate"], 1) if so else 0.0,
+        f"full_visuotactile_pcl_{n_used}": round(pc["rate"], 1) if pc else None,
         "mfu_estimate": round(ns["mfu"], 4) if ns else 0.0,
         "device_kind": (ns or so or {}).get("device_kind", "unknown"),
         "config": f"{n_used} envs, tactile 3x64x64 + depth/seg 96x54, "

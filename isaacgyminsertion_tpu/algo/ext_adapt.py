@@ -39,13 +39,21 @@ from ..sensors.camera import SEG_PLUG, SEG_SOCKET
 
 @dataclass(frozen=True)
 class DAggerConfig:
-    horizon: int = 32
-    mini_epochs: int = 4
-    learning_rate: float = 5.0e-4
-    grad_norm: float = 1.0
+    # horizon/mini_epochs: the reference student reuses the teacher's PPO
+    # yaml (horizon_length 64, mini_epochs 8, FactoryTaskInsertionTactilePPOv2
+    # .yaml:33-34) — round-3 ran 32/4, a silent deviation, fixed round 4
+    horizon: int = 64
+    mini_epochs: int = 8
+    learning_rate: float = 3.0e-4       # Adam lr 3e-4 (ext_adapt.py:307)
+    grad_norm: float = 0.5              # clip_grad_norm_ 0.5 (ext_adapt.py:855)
     teacher_only_steps: float = 1.0e6   # ext_adapt.py:713-726
     beta_anneal_steps: float = 3.0e6
-    latent_loss_coef: float = 1.0
+    # The reference COMMENTS OUT the latent term: loss = action_scale *
+    # loss_action  # + latent_scale * loss_latent (ext_adapt.py:828-830).
+    # Round-3 trained with coef 1.0 — the oscillating latent objective
+    # (predicting the exact 8-dim priv latent from sensors on OOD states)
+    # dominated the plateaued action loss. Default now matches the reference.
+    latent_loss_coef: float = 0.0
     action_z_weight: float = 0.1        # ext_adapt.py:814-819
     only_bc: bool = False
     # modality flags (train cfg ppo.{obs,tactile,img,seg,pcl}_info)
@@ -54,6 +62,12 @@ class DAggerConfig:
     use_img: bool = False
     use_seg: bool = False
     use_pcl: bool = False
+    # triage-only upper-bound control (VERDICT r3 item 1b, no reference
+    # counterpart): feed the normalized privileged vector to the student as
+    # an extra linear input. If THIS student can't reach teacher-level
+    # success through the same trainer, the DAgger loop is the bug, not the
+    # perception stack.
+    use_priv: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -83,15 +97,25 @@ def _seg_masks(seg: jax.Array) -> jax.Array:
     return jnp.stack([plug, sock], axis=-1)  # [..., H, W, 2]
 
 
-def _student_inputs(da_cfg: DAggerConfig, state: DAggerState, out_obs, out):
+def _student_inputs(da_cfg: DAggerConfig, state: DAggerState, out_obs, out, teacher=None):
     """Normalize / preprocess modalities into the student's input dict."""
     inp = {}
     if da_cfg.use_obs:
-        inp["obs"] = rms_normalize(state.stud_obs_rms, out_obs)
+        obs_in = rms_normalize(state.stud_obs_rms, out_obs)
+        if da_cfg.use_priv and out.priv_info is not None and teacher is not None:
+            obs_in = jnp.concatenate(
+                [obs_in, rms_normalize(teacher.priv_rms, out.priv_info)], axis=-1)
+        inp["obs"] = obs_in
     if da_cfg.use_tactile:
         inp["tactile"] = out.tactile
     if da_cfg.use_img:
-        inp["img"] = out.img
+        img = out.img
+        if da_cfg.use_seg:
+            # reference masks the depth image to plug|socket pixels when seg
+            # is available (process_obs, ext_adapt.py:391-402)
+            valid = ((out.seg == SEG_PLUG) | (out.seg == SEG_SOCKET)).astype(img.dtype)
+            img = img * valid
+        inp["img"] = img
     if da_cfg.use_seg:
         inp["seg"] = _seg_masks(out.seg[:, -1])[:, None]
     if da_cfg.use_pcl:
@@ -160,12 +184,14 @@ def build(
         env_state=env_state, rng=k_train,
         epoch=jnp.zeros((), jnp.int32), agent_steps=jnp.zeros((), jnp.float32),
     )
-    inp0 = _student_inputs(da_cfg, dummy_state, out0.student_obs, out0)
+    out0 = out0._replace(priv_info=insertion.priv_info_of(cfg_task, model, env_state))
+    inp0 = _student_inputs(da_cfg, dummy_state, out0.student_obs, out0, teacher=teacher)
     student_params = student.init(k_stud, **inp0)
 
+    # Adam (not AdamW: the reference has no weight decay, ext_adapt.py:307)
     tx = optax.chain(
         optax.clip_by_global_norm(da_cfg.grad_norm),
-        optax.adamw(da_cfg.learning_rate),
+        optax.adam(da_cfg.learning_rate),
     )
     if phase3:
         # phase-3 partial training: only the decoder/latent-head update
@@ -192,7 +218,7 @@ def make_student_act(cfg_task, da_cfg: DAggerConfig, teacher_net,
     Shared by the train epoch and the standalone student evaluation."""
 
     def student_act(student_params, da_state, obs_n, out):
-        inp = _student_inputs(da_cfg, da_state, obs_n, out)
+        inp = _student_inputs(da_cfg, da_state, obs_n, out, teacher=teacher)
         pred = student.apply(student_params, **inp)
         if da_cfg.only_bc:
             return pred, pred
@@ -246,13 +272,17 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
         s_actions, s_latent = student_act(da_state.student_params, da_state,
                                           stud_obs_pre, prev_out)
 
-        # annealed β (ext_adapt.py:713-726)
+        # annealed β (ext_adapt.py:713-726): β = max(0, 1 - steps/3e6) from
+        # step 0, PLUS a teacher-only phase for the first 1e6 steps that the
+        # reference applies only when tactile is OFF (`if agent_steps < 1e6
+        # and not self.tactile_info`). Design delta: per-env Bernoulli(β)
+        # instead of the reference's one global coin per step — same
+        # expectation, smoother state-distribution anneal.
         steps = da_state.agent_steps
-        beta = jnp.clip(
-            1.0 - (steps - da_cfg.teacher_only_steps) / da_cfg.beta_anneal_steps,
-            0.0, 1.0,
-        )
+        beta = jnp.clip(1.0 - steps / da_cfg.beta_anneal_steps, 0.0, 1.0)
         use_teacher = jax.random.uniform(k_mix, (obs.shape[0], 1)) < beta
+        if not da_cfg.use_tactile:
+            use_teacher = use_teacher | (steps < da_cfg.teacher_only_steps)
         mixed = jnp.where(use_teacher, t_actions, s_actions)
         env_state, out = env_step(env_state, mixed)
 
@@ -261,6 +291,8 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
             latent_gt=latent_gt, tactile=prev_out.tactile, img=prev_out.img,
             seg=prev_out.seg, pcl=prev_out.pcl,
         )
+        if da_cfg.use_priv:
+            sample["priv"] = priv
         metrics = {"reward": jnp.mean(out.rew), "success": jnp.mean(out.extras["successes"]),
                    "beta": beta}
         da_state = da_state._replace(agent_steps=da_state.agent_steps + obs.shape[0])
@@ -268,7 +300,8 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
 
     def loss_fn(student_params, da_state, mb):
         out_like = insertion.StepOutput(
-            obs=mb["obs"], student_obs=mb["student_obs"], priv_info=None,
+            obs=mb["obs"], student_obs=mb["student_obs"],
+            priv_info=mb.get("priv"),
             rew=None, reset=None, timeout=None, extras={},
             tactile=mb["tactile"], img=mb["img"], seg=mb["seg"], pcl=mb["pcl"],
             contacts=None,

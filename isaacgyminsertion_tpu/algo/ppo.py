@@ -82,6 +82,13 @@ class PPOConfig:
     # to it, so fine-tune phases can keep exploring without forgetting.
     anchor_coef: float = 0.0
     value_bootstrap: bool = True
+    # ablation (round-4, VERDICT r3 item 2): suppress the γV timeout
+    # bootstrap on currently-inserted (success) states. The reference always
+    # bootstraps V(s_t) at the time limit (frozen_ppo.py:677-683); for
+    # success states that target is the critic's own inflated estimate of an
+    # absorbing goal — the suspect behind diag/value_error_success ≈ 4×
+    # value_error_fail. No reference counterpart; off by default.
+    bootstrap_mask_success: bool = False
     normalize_input: bool = True
     normalize_value: bool = True
     normalize_advantage: bool = True
@@ -188,6 +195,9 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
         env_state, params, obs_rms, priv_rms, value_rms, rng = carry
         rng, k_act = jax.random.split(rng)
         obs = env_state.obs_queue
+        # pre-step success flag: diag/value_error_success splits V(s_t) error
+        # by s_t's own label, not s_{t+1}'s (round-3 ADVICE: one-step skew)
+        succ_pre = env_state.success_reset_buf.astype(jnp.float32)
         priv = insertion.priv_info_of(cfg_task, model, env_state)
         o = rms_normalize(obs_rms, obs)
         p = rms_normalize(priv_rms, priv)
@@ -197,14 +207,17 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
         clamped = jnp.clip(actions, -1.0, 1.0)
         env_state, out = env_step(env_state, clamped)
         if ppo_cfg.value_bootstrap:
-            shaped = 0.01 * out.rew + ppo_cfg.gamma * value * out.timeout.astype(out.rew.dtype)
+            boot = out.timeout.astype(out.rew.dtype)
+            if ppo_cfg.bootstrap_mask_success:
+                boot = boot * (1.0 - env_state.success_reset_buf.astype(out.rew.dtype))
+            shaped = 0.01 * out.rew + ppo_cfg.gamma * value * boot
         else:
             shaped = out.rew
         tr = Transition(
             obs=obs, priv=priv, actions=actions, neglogp=neglogp, values=value,
             rewards=shaped, dones=out.reset.astype(jnp.float32), mu=mu,
             sigma=jnp.exp(log_std) * jnp.ones_like(mu),
-            succ=env_state.success_reset_buf.astype(jnp.float32),
+            succ=succ_pre,
         )
         metrics = {
             "reward": jnp.mean(out.rew),

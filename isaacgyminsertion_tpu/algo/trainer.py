@@ -281,6 +281,9 @@ def make_student_eval_fn(cfg_task, da_cfg, model, subs, teacher_net, teacher,
                 epoch=jnp.zeros((), jnp.int32), agent_steps=jnp.zeros(()),
             )
             prev_out = ea._prev_out_of(env_state, cfg_task)
+            if da_cfg.use_priv:
+                prev_out = prev_out._replace(
+                    priv_info=insertion.priv_info_of(cfg_task, model, env_state))
             # test-time pcl perturbation for the robustness study
             # (ext_adapt.py:437-561 noise sweep): traced std so one compile
             # serves every noise level
@@ -325,7 +328,8 @@ class DAggerTrainer:
 
     def __init__(self, cfg_task, da_cfg, model, subs, n_envs, out_dir,
                  teacher_ckpt_path: str, seed: int = 0, phase3: bool = False,
-                 student_ckpt_path: str = "", gan_ckpt_path: str = ""):
+                 student_ckpt_path: str = "", gan_ckpt_path: str = "",
+                 eval_envs: int | None = None, eval_freq_steps: float = 2.0e6):
         from . import ext_adapt as ea
 
         tree = restore_path(teacher_ckpt_path)
@@ -355,6 +359,32 @@ class DAggerTrainer:
         self.ckpt = Checkpointer(out_dir)
         self.writer = MetricsWriter(out_dir)
         self.success_meter = AverageScalarMeter()
+        # eval-gated banking (round-4): `best_success` is selected by a real
+        # student-driven full-episode eval under the reference's convention
+        # (resets disabled), not the noisy per-step rollout meter round 3
+        # banked on
+        self._eval_envs = eval_envs
+        self.eval_freq_steps = eval_freq_steps
+        self._next_eval = eval_freq_steps
+        self._eval_fn = None
+        self._best_eval = float("-inf")
+
+    def _run_eval(self, agent_steps: float) -> float:
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn(self._eval_envs)
+        sr = self._eval_fn(self.state.student_params, self.state.stud_obs_rms,
+                           self.state.pcl_rms,
+                           jax.random.PRNGKey(int(agent_steps) % (2**31)))
+        self.writer.write(int(agent_steps), {"eval/success_rate": sr})
+        if sr > self._best_eval:
+            self._best_eval = sr
+            tree = {"student_params": self.state.student_params,
+                    "stud_obs_rms": self.state.stud_obs_rms,
+                    "pcl_rms": self.state.pcl_rms}
+            self.ckpt.maybe_save_best(tree, float("-inf"), sr)
+        print(f"[dagger eval] steps={int(agent_steps)} success={sr:.4f} "
+              f"(best {self._best_eval:.4f})", flush=True)
+        return sr
 
     def train(self, max_epochs: int = 1000, save_freq: int = 50):
         steps_per_epoch = self.da_cfg.horizon * self.n_envs
@@ -386,15 +416,27 @@ class DAggerTrainer:
                         "stud_obs_rms": self.state.stud_obs_rms,
                         "pcl_rms": self.state.pcl_rms}
                 self.ckpt.save_last(tree, int(agent_steps))
-                self.ckpt.maybe_save_best(tree, float("-inf"),
-                                          self.success_meter.current_mean)
+            if agent_steps >= self._next_eval:
+                self._next_eval += self.eval_freq_steps
+                self._run_eval(agent_steps)
+        # final eval so short runs still bank an eval-gated best
+        self._run_eval(float(self.state.agent_steps))
         return self.state
 
-    def test(self, n_episodes: int = 1, seed: int = 1234,
-             eval_envs: int | None = None) -> float:
-        """Deterministic student-driven evaluation; prints and returns the
-        success rate (reference eval_s2.sh / test_student.sh path:
-        train.algo=ExtrinsicAdapt test=True → agent.test())."""
+    def _eval_cfg(self):
+        """Student evals use the reference convention (ext_adapt.py test():
+        env.reset(reset_at_success=False, reset_at_fails=False)) — the env
+        may recover from a degrasp within the 500-step window, exactly like
+        the teacher's authoritative eval. Round-3 evaluated the student with
+        reset_at_fails=True (first reset = counted failure), a strictly
+        harsher bar than the reference's."""
+        import dataclasses as _dc
+        return self.cfg_task.replace(
+            reset_at_fails=False, reset_at_success=False,
+            randomize=_dc.replace(
+                self.cfg_task.randomize, clearance_curriculum_extra=0.0))
+
+    def _make_eval_fn(self, eval_envs: int | None):
         from ..models.actor_critic import ActorCriticSplit
 
         obs_dim = self.cfg_task.env.num_obs_hist * self.cfg_task.env.num_observations
@@ -402,10 +444,17 @@ class DAggerTrainer:
             num_actions=self.cfg_task.env.num_actions, obs_dim=obs_dim,
             priv_dim=self.cfg_task.env.num_states,
         )
-        eval_fn = make_student_eval_fn(
-            self.cfg_task, self.da_cfg, self.model, self.subs, teacher_net,
+        return make_student_eval_fn(
+            self._eval_cfg(), self.da_cfg, self.model, self.subs, teacher_net,
             self.teacher, self.student, eval_envs or min(self.n_envs, 64),
         )
+
+    def test(self, n_episodes: int = 1, seed: int = 1234,
+             eval_envs: int | None = None) -> float:
+        """Deterministic student-driven evaluation; prints and returns the
+        success rate (reference eval_s2.sh / test_student.sh path:
+        train.algo=ExtrinsicAdapt test=True → agent.test())."""
+        eval_fn = self._make_eval_fn(eval_envs)
         rates = [
             eval_fn(self.state.student_params, self.state.stud_obs_rms,
                     self.state.pcl_rms, jax.random.PRNGKey(seed + i))
@@ -416,25 +465,17 @@ class DAggerTrainer:
         self.writer.write(0, {"test/success_rate": sr})
         return sr
 
-    def test_log(self, noise_levels=(0.0, 0.002, 0.005, 0.01), trials: int = 3,
-                 eval_envs: int | None = None):
+    def test_log(self,
+                 noise_levels=(0.0, 0.00111, 0.00222, 0.00333, 0.00444,
+                               0.00556, 0.00667, 0.00778, 0.00889, 0.01),
+                 trials: int = 10, eval_envs: int | None = None):
         """Robustness study: student-driven first-episode eval under test-time
         pcl noise σ ∈ noise_levels, mean±std success over trials
         (ext_adapt.py:437-561 noise-sweep parity). The noise std is a traced
         scalar, so all levels share ONE compiled eval. Writes results + plot."""
         import numpy as np
 
-        from ..models.actor_critic import ActorCriticSplit
-
-        obs_dim = self.cfg_task.env.num_obs_hist * self.cfg_task.env.num_observations
-        teacher_net = ActorCriticSplit(
-            num_actions=self.cfg_task.env.num_actions, obs_dim=obs_dim,
-            priv_dim=self.cfg_task.env.num_states,
-        )
-        eval_fn = make_student_eval_fn(
-            self.cfg_task, self.da_cfg, self.model, self.subs, teacher_net,
-            self.teacher, self.student, eval_envs or min(self.n_envs, 64),
-        )
+        eval_fn = self._make_eval_fn(eval_envs)
         results = {}
         for noise in noise_levels:
             succ = [

@@ -107,6 +107,7 @@ _KEYMAP = {
     "train.ppo.anneal_margin": ("ppo", "anneal_margin"),
     "train.ppo.anchor_coef": ("ppo", "anchor_coef"),
     "train.ppo.value_bootstrap": ("ppo", "value_bootstrap"),
+    "train.ppo.bootstrap_mask_success": ("ppo", "bootstrap_mask_success"),
     "train.ppo.normalize_input": ("ppo", "normalize_input"),
     "train.ppo.normalize_value": ("ppo", "normalize_value"),
     "train.ppo.normalize_advantage": ("ppo", "normalize_advantage"),
@@ -118,6 +119,11 @@ _KEYMAP = {
     "train.ppo.pcl_info": ("dagger", "use_pcl"),
     "train.ppo.obs_info": ("dagger", "use_obs"),
     "train.ppo.only_bc": ("dagger", "only_bc"),
+    # the reference recipe passes only_bc through the offline_train tree
+    # (reference scripts/train_s2.sh: offline_train.only_bc=True)
+    "offline_train.only_bc": ("dagger", "only_bc"),
+    "offline_train.from_offline": (None, None),  # accepted for recipe compat
+    "train.ppo.use_priv": ("dagger", "use_priv"),
     "train.ppo.latent_loss_coef": ("dagger", "latent_loss_coef"),
     "train.ppo.action_z_weight": ("dagger", "action_z_weight"),
 }
@@ -169,6 +175,7 @@ def parse_args(argv: list[str] | None = None) -> dict:
         eval_freq_steps=10.0e6,
         noise_study=False,
     )
+    truncate_grads = None
     for arg in argv:
         if "=" not in arg:
             continue
@@ -208,16 +215,19 @@ def parse_args(argv: list[str] | None = None) -> dict:
             # reference yaml boolean (frozen_ppo truncate_grads): True keeps
             # the configured grad_norm clip, False disables clipping. Never
             # write the boolean into the float grad_norm (False would become
-            # clip-at-0 and silently zero every gradient).
+            # clip-at-0 and silently zero every gradient). Recorded here and
+            # applied once AFTER all overrides (round-3 ADVICE: applying it
+            # inline was order-dependent vs a later train.ppo.grad_norm=X).
             if not isinstance(val, bool):
                 raise SystemExit("train.ppo.truncate_grads expects true/false")
-            if not val:
-                out["ppo"] = _set_path(out["ppo"], "grad_norm", float("inf"))
+            truncate_grads = val
         elif k == "task":
             pass  # single task family; accepted for recipe compatibility
         elif k in _KEYMAP:
             name, path = _KEYMAP[k]
-            if path is None:
+            if name is None:
+                pass  # accepted for reference recipe compatibility, no-op
+            elif path is None:
                 out[name] = val
             else:
                 out[name] = _set_path(out[name], path, val)
@@ -229,6 +239,8 @@ def parse_args(argv: list[str] | None = None) -> dict:
             out["dagger"] = _set_path(out["dagger"], k[len("dagger."):], val)
         else:
             raise SystemExit(f"unknown override: {k}")
+    if truncate_grads is False:
+        out["ppo"] = _set_path(out["ppo"], "grad_norm", float("inf"))
     return out
 
 
@@ -286,7 +298,8 @@ def main(argv: list[str] | None = None):
                                 teacher_ckpt_path=args["checkpoint"], seed=args["seed"],
                                 phase3=args["phase3"],
                                 student_ckpt_path=args["student_checkpoint"],
-                                gan_ckpt_path=args["gan_checkpoint"])
+                                gan_ckpt_path=args["gan_checkpoint"],
+                                eval_envs=args["eval_envs"])
         if args["test"]:
             trainer.test(eval_envs=args["eval_envs"])
             if args["noise_study"]:

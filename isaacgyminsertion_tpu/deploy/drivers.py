@@ -275,11 +275,29 @@ class UsbAllsight(TactileDevice):
             frames.append(frame[..., ::-1].astype(np.float32) / 255.0)  # BGR→RGB
         return np.stack(frames)
 
+    def calibrate(self, n_frames: int = 10) -> bool:  # pragma: no cover - hw
+        """Capture an explicit contact-free background (mean of n_frames),
+        like the reference's background-calibration step (allsight_wrapper
+        _calibrate). Call BEFORE the hand makes contact; falling back to the
+        first polled frame bakes any startup contact into the background
+        (round-3 ADVICE)."""
+        acc = []
+        for _ in range(n_frames):
+            raw = self._grab()
+            if raw is not None:
+                acc.append(raw)
+        if not acc:
+            return False
+        self._bg = np.mean(acc, axis=0)
+        return True
+
     def _read(self) -> dict:  # pragma: no cover - requires hardware
         raw = self._grab()
         if raw is None:
             return None
         if self._bg is None:
+            # last-resort background (no explicit calibrate() call); valid
+            # only if the gel is contact-free at startup
             self._bg = raw.copy()
         out = raw - self._bg if self.diff_with_bg else raw
         out = np.clip(out * 0.5 + 0.5, 0.0, 1.0) if self.diff_with_bg else out

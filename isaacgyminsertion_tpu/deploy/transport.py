@@ -265,13 +265,20 @@ def serve_hardware(hw, host: str = "127.0.0.1", port: int = 7451,
                     return
                 if "_op" not in msg:
                     return  # not a valid RPC frame: drop the connection
-                op = msg.pop("_op").tobytes().decode()
+                try:
+                    op = msg.pop("_op").tobytes().decode()
+                except UnicodeDecodeError:
+                    return  # non-UTF-8 op: drop like the CodecError path
                 if op == "reset":
                     hw.reset()
                     reply = {"ok": np.asarray([1], np.int32)}
                 elif op == "obs":
                     reply = {k: np.asarray(v) for k, v in hw.get_observation().items()}
                 elif op == "act":
+                    # a well-framed but wrong-fielded message must drop the
+                    # connection, not raise in the handler (round-3 ADVICE)
+                    if "delta_pos" not in msg or "delta_rot" not in msg:
+                        return
                     hw.apply_action(msg["delta_pos"], msg["delta_rot"])
                     reply = {"ok": np.asarray([1], np.int32)}
                 else:

@@ -52,7 +52,9 @@ def test_dagger_epoch_runs_and_learns_signal():
         dstate, metrics = step(dstate)
         losses.append(float(metrics["loss"]))
     assert np.all(np.isfinite(losses))
-    # β=1 here (teacher-only window): executed actions come from the teacher
-    assert float(metrics["episode/beta"]) == 1.0
+    # teacher-only window (teacher_only_steps=1e9): executed actions come
+    # from the teacher. β itself anneals from step 0 (reference
+    # ext_adapt.py:713-726 semantics, round-4 fix) so it is ~1, not exactly 1.
+    assert float(metrics["episode/beta"]) > 0.999
     # distillation loss should clearly decrease on a fixed teacher
     assert losses[-1] < losses[0]
