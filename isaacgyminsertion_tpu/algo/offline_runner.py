@@ -280,3 +280,72 @@ class OfflineRunner:
                 self.ckpt.maybe_save_best({"student_params": self.params},
                                           score, float("-inf"))
         return last
+
+    # ------------------------------------------------------------------ #
+    # live-env replay evaluation (offline_training_w_env parity:
+    # reference train.py:124-128 + transformer/runner.py:194-304 — an
+    # offline-trained student is validated by driving the live vectorized
+    # env with it and measuring first-episode success)
+    # ------------------------------------------------------------------ #
+
+    def _rms_of(self, key: str):
+        """Adapt DataNormalizer {mean, std} stats to the RMSState the env
+        eval path normalizes with (var = std², effectively infinite count)."""
+        from ..models.running_mean_std import RMSState
+
+        s = self.normalizer.stats.get(key)
+        if s is None:
+            from ..models.running_mean_std import rms_init
+
+            return rms_init((3,) if key == "pcl" else (15,))
+        return RMSState(mean=jnp.asarray(s["mean"]),
+                        var=jnp.asarray(s["std"]) ** 2,
+                        count=jnp.asarray(1e8, jnp.float32))
+
+    def replay_eval(self, cfg_task, n_envs: int = 64, seed: int = 1234,
+                    teacher_ckpt: str = "") -> float:
+        """Replay the trained student against the live env; returns the
+        first-episode success rate under the reference eval convention
+        (resets disabled)."""
+        import dataclasses as _dc
+
+        from ..algo.ext_adapt import DAggerConfig, TeacherBundle
+        from ..algo.trainer import make_student_eval_fn
+        from ..assets import build_subassembly_set
+        from ..models.actor_critic import ActorCriticSplit
+        from ..physics.robot import build_kuka_openhand
+
+        cfg = self.cfg
+        task = cfg_task.replace(
+            reset_at_fails=False, reset_at_success=False,
+            randomize=_dc.replace(cfg_task.randomize,
+                                  clearance_curriculum_extra=0.0))
+        da_cfg = DAggerConfig(
+            only_bc=cfg.only_bc, use_obs=cfg.use_obs, use_tactile=cfg.use_tactile,
+            use_img=cfg.use_img, use_seg=cfg.use_seg, use_pcl=cfg.use_pcl,
+        )
+        model = build_kuka_openhand()
+        subs = build_subassembly_set()
+        obs_dim = task.env.num_obs_hist * task.env.num_observations
+        teacher_net = ActorCriticSplit(num_actions=task.env.num_actions,
+                                       obs_dim=obs_dim,
+                                       priv_dim=task.env.num_states)
+        if teacher_ckpt:
+            tree = restore_path(teacher_ckpt)
+            teacher = TeacherBundle(tree["params"], tree["obs_rms"], tree["priv_rms"])
+        else:
+            # only-BC students never query the teacher at eval; a zero bundle
+            # keeps the shared eval path happy
+            from ..models.running_mean_std import rms_init
+
+            z = self.student.init(jax.random.PRNGKey(0), **self._dummy_inputs(
+                obs_dim // task.env.num_obs_hist))
+            teacher = TeacherBundle(z, rms_init((obs_dim,)),
+                                    rms_init((task.env.num_states,)))
+        eval_fn = make_student_eval_fn(task, da_cfg, model, subs, teacher_net,
+                                       teacher, self.student, n_envs)
+        sr = eval_fn(self.params, self._rms_of("student_obs"),
+                     self._rms_of("pcl"), jax.random.PRNGKey(seed))
+        self.writer.write(0, {"replay/success_rate": sr})
+        print(f"Replay Success Rate: {sr:.4f}")
+        return sr

@@ -89,3 +89,33 @@ def test_multimodal_collect_then_offline_train(tmp_path):
     train_set = set(runner.dataset.files)
     val_set = set(runner.val_dataset.files)
     assert train_set and val_set and not (train_set & val_set)
+
+
+def test_offline_replay_eval(tmp_path):
+    """offline_training_w_env parity (reference train.py:124-128): the
+    offline-trained student replays against the live env and returns a
+    success rate under the eval convention (resets disabled)."""
+    cfg0 = default_task_config()
+    cfg = cfg0.replace(
+        rl=dataclasses.replace(cfg0.rl, max_episode_length=8),
+        env=dataclasses.replace(
+            cfg0.env, external_cam=True, pcl_cam=True, seg_cam=True,
+            total_points=64, num_points=24, num_points_socket=24,
+            num_points_goal=0,
+        ),
+    )
+    net, tx, pstate, _ = ppo_mod.build(
+        cfg, ppo_mod.PPOConfig(horizon=4, mini_epochs=2), MODEL, SUBS, 2,
+        jax.random.PRNGKey(0),
+    )
+    data_dir = str(tmp_path / "trajs")
+    collect_teacher_rollouts(
+        cfg, MODEL, SUBS, net, pstate.params, pstate.obs_rms, pstate.priv_rms,
+        n_envs=2, out_dir=data_dir, total_trajectories=3, chunk=9,
+    )
+    ocfg = OfflineConfig(epochs=1, batch_size=8, only_bc=True, use_pcl=True,
+                         use_seg=True, val_fraction=0.0)
+    runner = OfflineRunner(ocfg, data_dir, str(tmp_path / "out"))
+    runner.run()
+    sr = runner.replay_eval(cfg, n_envs=2, seed=0)
+    assert 0.0 <= sr <= 1.0

@@ -65,11 +65,34 @@ def main(argv=None):
         use_img=flag("img_info"),
         use_seg=flag("seg_info"),
         use_pcl=flag("pcl_info"),
+        learning_rate=float(kv.get("learning_rate", 1e-4)),
     )
     runner = OfflineRunner(cfg, data_dir, out,
                            teacher_ckpt=kv.get("teacher_checkpoint", ""))
-    metrics = runner.run()
-    print("offline training done:", metrics)
+    if kv.get("restore"):
+        from isaacgyminsertion_tpu.utils.checkpoint import restore_path
+
+        runner.params = restore_path(kv["restore"])["student_params"]
+    if int(kv.get("epochs", 10)) > 0:
+        metrics = runner.run()
+        print("offline training done:", metrics)
+    if kv.get("offline_training_w_env", "False").lower() == "true":
+        # reference train.py:124-128: validate the offline student by
+        # replaying it against the live env (first-episode success)
+        import dataclasses
+
+        from isaacgyminsertion_tpu.envs.config import default_task_config
+
+        task = default_task_config()
+        task = task.replace(env=dataclasses.replace(
+            task.env,
+            tactile=cfg.use_tactile,
+            external_cam=cfg.use_img or cfg.use_seg or cfg.use_pcl,
+            depth_cam=cfg.use_img, seg_cam=cfg.use_seg or cfg.use_pcl,
+            pcl_cam=cfg.use_pcl,
+        ))
+        runner.replay_eval(task, n_envs=int(kv.get("num_envs", 64)),
+                           teacher_ckpt=kv.get("teacher_checkpoint", ""))
 
 
 if __name__ == "__main__":
