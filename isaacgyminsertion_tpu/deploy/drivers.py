@@ -31,7 +31,8 @@ import time
 
 import numpy as np
 
-from .devices import CameraDevice, HandDevice, TactileDevice
+from .devices import (CameraDevice, HandDevice, KinematicArm, TactileDevice,
+                      TrackerDevice)
 
 
 class DriverUnavailable(RuntimeError):
@@ -306,6 +307,219 @@ class UsbAllsight(TactileDevice):
     def stop(self):
         super().stop()
         for cap in self.caps:  # pragma: no cover - requires hardware
+            try:
+                cap.release()
+            except Exception:
+                pass
+
+
+# --------------------------------------------------------------------------- #
+# arm: KUKA iiwa via EKI-style XML-over-TCP position streaming
+# --------------------------------------------------------------------------- #
+
+
+class EkiIiwaArm(KinematicArm):
+    """KUKA arm through an EKI (Ethernet KRL Interface) XML/TCP endpoint.
+
+    Reference shape: algo/deploy/env/moveit_manipulator_wrap.py — a ROS
+    relay to MoveIt planning services plus a joint-velocity streaming API.
+    Here the controller is driven directly over the EKI socket KUKA
+    controllers expose (no ROS): joint targets stream as
+    `<RobotCommand><Joints A1=".." ... A7=".."/></RobotCommand>` and the
+    controller replies `<RobotState><Joints .../>[<Wrench .../>]</RobotState>`.
+
+    Inherits the framework FK/IK from KinematicArm, so `servo_delta` (the
+    60 Hz deploy-loop surface) converts metric eef deltas to joint targets
+    with the same damped-least-squares IK the sim controller uses
+    (ops/control.py), then streams them; `_read` returns the MEASURED
+    joints/pose, not the commanded ones.
+    """
+
+    def __init__(self, host: str, port: int = 54600, rate_hz: float = 120.0,
+                 timeout_s: float = 1.0):
+        import socket
+
+        super().__init__(rate_hz=rate_hz)
+        self.name = "arm"
+        try:
+            self._sock = socket.create_connection((host, port), timeout=timeout_s)
+            self._sock.settimeout(timeout_s)
+        except OSError as e:
+            raise DriverUnavailable(f"EKI endpoint {host}:{port} unreachable") from e
+        self._rx = b""
+
+    # -- wire format -------------------------------------------------------
+
+    @staticmethod
+    def _encode_command(q7: np.ndarray) -> bytes:
+        attrs = " ".join(f'A{i + 1}="{float(q7[i]):.6f}"' for i in range(7))
+        return f"<RobotCommand><Joints {attrs}/></RobotCommand>\n".encode()
+
+    @staticmethod
+    def _parse_state(xml_text: str):
+        """→ (q7, wrench[6] | None); raises on malformed XML."""
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(xml_text)
+        j = root.find("Joints")
+        q = np.array([float(j.attrib[f"A{i + 1}"]) for i in range(7)], np.float32)
+        w = root.find("Wrench")
+        wrench = None
+        if w is not None:
+            wrench = np.array([float(w.attrib[k])
+                               for k in ("Fx", "Fy", "Fz", "Tx", "Ty", "Tz")],
+                              np.float32)
+        return q, wrench
+
+    def _transact(self, q7: np.ndarray) -> None:  # pragma: no cover - network
+        """One stream cycle: send the joint target, consume one state reply."""
+        self._sock.sendall(self._encode_command(q7))
+        while b"\n" not in self._rx:
+            chunk = self._sock.recv(4096)
+            if not chunk:
+                raise DriverUnavailable("EKI connection closed by controller")
+            self._rx += chunk
+        line, self._rx = self._rx.split(b"\n", 1)
+        q, wrench = self._parse_state(line.decode())
+        self._q = q
+        if wrench is not None:
+            self._wrench = wrench
+
+    # -- device surface ----------------------------------------------------
+
+    def servo_delta(self, dpos, drot):  # pragma: no cover - network
+        q_target = np.asarray(
+            self._ik_step(np.asarray(self._q, np.float32),
+                          np.asarray(dpos, np.float32),
+                          np.asarray(drot, np.float32)))
+        self._transact(q_target)
+
+    def move_to_joints(self, q, wait: bool = True):  # pragma: no cover - network
+        """Plan-free point-to-point: stream interpolated waypoints (the EKI
+        analog of the reference's MoveItMoveJointPosition service call)."""
+        q = np.asarray(q, np.float32)[:7]
+        start = np.asarray(self._q, np.float32)
+        n = max(int(np.max(np.abs(q - start)) / 0.01), 1) if wait else 1
+        for i in range(1, n + 1):
+            self._transact(start + (q - start) * (i / n))
+
+    def stop(self):
+        super().stop()
+        try:
+            self._sock.close()
+        except Exception:
+            pass
+
+
+# --------------------------------------------------------------------------- #
+# tracker: AprilTag socket-pose estimation (cv2.aruco)
+# --------------------------------------------------------------------------- #
+
+
+class ApriltagTracker(TrackerDevice):
+    """Socket-pose tracker from AprilTag detections (cv2.aruco, 36h11).
+
+    Reference shape: algo/deploy/env/apriltag_tracker.py — a ROS relay that
+    republishes `/hand_control/obj_*` pose topics and debounces a drop flag
+    over 10 consecutive detections. Here the detection itself runs in-driver:
+    frames come from `frame_fn() -> HxW[x3] uint8` (or a cv2.VideoCapture
+    index), the tag pose is recovered with solvePnP from the tag's physical
+    size + camera intrinsics, then mapped to the robot base frame through a
+    fixed camera extrinsic.
+
+    Pose math is original; only the topic contract (socket_pos/socket_quat +
+    debounced `drop`) mirrors the reference Tracker.
+    """
+
+    def __init__(self, frame_fn=None, camera_index: int = 0,
+                 tag_size_m: float = 0.03, fx: float = 600.0, fy: float = 600.0,
+                 cx: float = 320.0, cy: float = 240.0,
+                 cam_pos=(0.5, 0.0, 0.5), cam_quat=(1.0, 0.0, 0.0, 0.0),
+                 tag_to_socket=(0.0, 0.0, -0.02), rate_hz: float = 10.0,
+                 drop_count: int = 10):
+        try:
+            import cv2
+        except ImportError as e:  # pragma: no cover - requires opencv
+            raise DriverUnavailable("opencv (cv2) not installed") from e
+        super().__init__(rate_hz=rate_hz)
+        self._cv2 = cv2
+        self._dict = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+        self._detector = cv2.aruco.ArucoDetector(self._dict,
+                                                 cv2.aruco.DetectorParameters())
+        if frame_fn is None:  # pragma: no cover - requires hardware
+            cap = cv2.VideoCapture(camera_index)
+            if not cap.isOpened():
+                raise DriverUnavailable(f"camera index {camera_index} unavailable")
+            frame_fn = lambda: cap.read()[1]
+            self._cap = cap
+        self.frame_fn = frame_fn
+        self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+        s = tag_size_m / 2.0
+        # tag corner order as cv2.aruco returns it: TL, TR, BR, BL (tag frame:
+        # +x right, +y down on the printed face, +z out of the tag)
+        self._obj_pts = np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]],
+                                 np.float64)
+        self._cam_pos = np.asarray(cam_pos, np.float64)
+        self._cam_rot = self._quat_to_mat(np.asarray(cam_quat, np.float64))
+        self._tag_to_socket = np.asarray(tag_to_socket, np.float64)
+        self.drop = False
+        self._drop_counter = 0
+        self._drop_count = drop_count
+
+    @staticmethod
+    def _quat_to_mat(q):
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    @staticmethod
+    def _mat_to_quat(R):
+        w = np.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 0.0)) / 2.0
+        if w < 1e-8:  # pragma: no cover - degenerate rotation
+            return np.array([1.0, 0, 0, 0])
+        return np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
+                         (R[0, 2] - R[2, 0]) / (4 * w),
+                         (R[1, 0] - R[0, 1]) / (4 * w)])
+
+    def _read(self) -> dict | None:
+        cv2 = self._cv2
+        frame = self.frame_fn()
+        if frame is None:
+            return self._miss()
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
+        corners, ids, _ = self._detector.detectMarkers(gray)
+        if ids is None or len(corners) == 0:
+            return self._miss()
+        # IPPE (planar) — not IPPE_SQUARE, which requires OpenCV's own
+        # TL(-s,+s) corner convention and silently degenerates on ours
+        ok, rvec, tvec = cv2.solvePnP(self._obj_pts, corners[0][0].astype(np.float64),
+                                      self.K, None, flags=cv2.SOLVEPNP_IPPE)
+        if not ok:
+            return self._miss()
+        self._drop_counter = 0
+        self.drop = False
+        R_ct, _ = cv2.Rodrigues(rvec)
+        # camera frame → base frame
+        R_bt = self._cam_rot @ R_ct
+        p_tag = self._cam_rot @ tvec.ravel() + self._cam_pos
+        p_socket = p_tag + R_bt @ self._tag_to_socket
+        return {"socket_pos": p_socket.astype(np.float32),
+                "socket_quat": self._mat_to_quat(R_bt).astype(np.float32)}
+
+    def _miss(self):
+        """Debounced drop flag (reference _object_drop_callback: 10 strikes)."""
+        self._drop_counter += 1
+        if self._drop_counter >= self._drop_count:
+            self.drop = True
+        return None  # keep the last good pose; staleness watchdog sees age
+
+    def stop(self):
+        super().stop()
+        cap = getattr(self, "_cap", None)
+        if cap is not None:  # pragma: no cover - requires hardware
             try:
                 cap.release()
             except Exception:
