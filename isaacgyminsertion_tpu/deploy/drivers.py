@@ -161,6 +161,14 @@ class SerialOpenhand(HandDevice):
     # motor mapping: 4 servos → 8-dim gripper vector. Model-O couples each
     # finger's proximal+distal through one tendon servo; servo 0 is the
     # base/spread. The sim-side vector is [base, (prox, dist) × 3, spread].
+    #
+    # CAVEAT (sim2real): the 0.4 proximal→distal tendon ratio and the
+    # *_open offsets are NOMINAL Model-O values, not measured ones. On a
+    # real hand, calibrate before trusting tactile-conditioned policies:
+    # command a slow close sweep, record (servo ticks, distal joint angle)
+    # from vision/encoders, and fit the ratio+offset; the round-trip test
+    # in tests/test_drivers_hw.py pins the MAPPING's self-consistency, not
+    # its physical accuracy.
     def _servo_to_vec(self, ticks: np.ndarray) -> np.ndarray:
         rad = ticks / _TICKS_PER_RAD
         o = self.oh

@@ -115,3 +115,30 @@ def test_eki_arm_loopback_transaction():
     t.join(timeout=2)
     arm.stop()
     srv.close()
+
+
+def test_openhand_servo_vec_roundtrip():
+    """vec -> servo -> vec is the identity on the servo-controllable subspace
+    (proximal joints + spread); distal follows the 0.4 tendon ratio. Pins the
+    mapping's self-consistency (drivers.py _servo_to_vec/_vec_to_servo)."""
+    from isaacgyminsertion_tpu.deploy.devices import OpenhandConfig
+    from isaacgyminsertion_tpu.deploy.drivers import SerialOpenhand
+
+    o = OpenhandConfig()
+    # exercise the pure mapping without a serial bus
+    hand = SerialOpenhand.__new__(SerialOpenhand)
+    hand.oh = o
+    hand.motor_ids = (1, 2, 3, 4)
+    vec = np.array([o.base_angle,
+                    o.proximal_open + 0.3, o.distal_open + 0.12,
+                    o.proximal_open + 0.5, o.distal_open + 0.20,
+                    o.proximal_open + 0.1, o.distal_open + 0.04,
+                    0.25], np.float32)
+    ticks = hand._vec_to_servo(vec)
+    back = hand._servo_to_vec(ticks)
+    # proximal + spread joints are exactly recovered
+    assert np.allclose(back[[1, 3, 5, 7]], vec[[1, 3, 5, 7]], atol=1e-5)
+    # distal joints are reconstructed through the tendon ratio
+    for f in range(3):
+        assert np.isclose(back[2 + 2 * f] - o.distal_open,
+                          0.4 * (vec[1 + 2 * f] - o.proximal_open), atol=1e-5)
