@@ -68,6 +68,15 @@ class DAggerConfig:
     # success through the same trainer, the DAgger loop is the bug, not the
     # perception stack.
     use_priv: bool = False
+    # DAgger data aggregation (Ross et al. 2011): train on a ring buffer of
+    # the last `replay_size` labeled samples instead of only the freshest
+    # horizon. The reference trains each epoch on its last horizon ONLY
+    # (StudentBuffer, experience.py:49 — rollout-BC, not DAgger-proper);
+    # round-4 measured that variant diverging as β→0 (action MSE
+    # 0.013→0.36, see ROUND4_NOTES) because each update forgets the
+    # teacher-state fit while chasing the newest self-state slice. 0 = off
+    # (reference behavior).
+    replay_size: int = 0
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -88,6 +97,11 @@ class DAggerState(NamedTuple):
     rng: jax.Array
     epoch: jax.Array
     agent_steps: jax.Array
+    # DAgger aggregation ring buffer (replay_size > 0): pytree of [K, ...]
+    # sample arrays + write cursor + fill count. None/zeros when off.
+    replay: Any = None
+    replay_cursor: jax.Array = None
+    replay_fill: jax.Array = None
 
 
 def _seg_masks(seg: jax.Array) -> jax.Array:
@@ -202,10 +216,33 @@ def build(
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, labels
         )
+    replay = None
+    cursor = fill = None
+    if da_cfg.replay_size > 0:
+        # aggregation ring buffer: one slot per labeled sample, shaped like
+        # the rollout sample dict (zero-size arrays for unused modalities
+        # stay zero-size — free). Frame fields are stored f16 (pure [0,1]
+        # frames / metric clouds; quantization ≪ the env's own DR noise).
+        K = da_cfg.replay_size
+        sample0 = dict(
+            obs=env_state.obs_queue, student_obs=env_state.obs_stud_queue,
+            t_actions=jnp.zeros((n_envs, cfg_task.env.num_actions)),
+            latent_gt=jnp.zeros((n_envs, 8)),
+            tactile=out0.tactile, img=out0.img, seg=out0.seg, pcl=out0.pcl,
+        )
+        if da_cfg.use_priv:
+            sample0["priv"] = out0.priv_info
+        _half = lambda k, x: (jnp.float16 if k in ("tactile", "img", "seg", "pcl")
+                              and x.dtype == jnp.float32 else x.dtype)
+        replay = {k: jnp.zeros((K,) + v.shape[1:], _half(k, v))
+                  for k, v in sample0.items()}
+        cursor = jnp.zeros((), jnp.int32)
+        fill = jnp.zeros((), jnp.int32)
     state = dummy_state._replace(
         student_params=student_params,
         opt_state=tx.init(student_params),
         env_state=env_state,
+        replay=replay, replay_cursor=cursor, replay_fill=fill,
     )
     train_epoch = make_train_epoch(cfg_task, da_cfg, model, subs, teacher_net, teacher, student, tx, gan_params=gan_params)
     return student, tx, state, train_epoch
@@ -338,9 +375,36 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
         mb_size = max(B // da_cfg.mini_epochs, 1)
         n_mb = B // mb_size
 
+        if da_cfg.replay_size > 0:
+            # DAgger aggregation via reservoir sampling (Algorithm R): the
+            # buffer stays a UNIFORM sample of every labeled state since
+            # epoch 0, so β=1-era teacher states are never forgotten while
+            # fresh self-states keep flowing in. Sequential fill until full;
+            # then sample g (global index) lands at slot r ~ U[0, g] and is
+            # dropped if r >= K (scatter mode='drop').
+            K = da_cfg.replay_size
+            rng, k_res = jax.random.split(rng)
+            t = state.replay_cursor  # total samples seen so far
+            g = t + jnp.arange(B)
+            r = (jax.random.uniform(k_res, (B,)) * (g + 1).astype(jnp.float32)
+                 ).astype(jnp.int32)
+            slot = jnp.where(g < K, g, jnp.where(r < K, r, K))  # K = dropped
+            replay = {k: state.replay[k].at[slot].set(
+                v.astype(state.replay[k].dtype), mode="drop")
+                for k, v in batch.items()}
+            state = state._replace(
+                replay=replay,
+                replay_cursor=t + B,
+                replay_fill=jnp.minimum(t + B, K),
+            )
+            source = state.replay
+        else:
+            source = batch
+
         def mb_update(carry, idx):
             params, opt_state = carry
-            mb = {k: v[idx] for k, v in batch.items()}
+            mb = {k: v[idx].astype(jnp.float32) if v.dtype == jnp.float16
+                  else v[idx] for k, v in source.items()}
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state, mb)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -350,7 +414,11 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
         def epoch_body(carry, _):
             params, opt_state, rng_i = carry
             rng_i, kp = jax.random.split(rng_i)
-            perm = jax.random.permutation(kp, B)[: n_mb * mb_size].reshape(n_mb, mb_size)
+            if da_cfg.replay_size > 0:
+                perm = jax.random.randint(kp, (n_mb, mb_size), 0,
+                                          jnp.maximum(state.replay_fill, 1))
+            else:
+                perm = jax.random.permutation(kp, B)[: n_mb * mb_size].reshape(n_mb, mb_size)
             (params, opt_state), aux = jax.lax.scan(mb_update, (params, opt_state), perm)
             return (params, opt_state, rng_i), jax.tree_util.tree_map(jnp.mean, aux)
 

@@ -299,7 +299,8 @@ def main(argv: list[str] | None = None):
                                 phase3=args["phase3"],
                                 student_ckpt_path=args["student_checkpoint"],
                                 gan_ckpt_path=args["gan_checkpoint"],
-                                eval_envs=args["eval_envs"])
+                                eval_envs=args["eval_envs"],
+                                eval_freq_steps=args["eval_freq_steps"])
         if args["test"]:
             trainer.test(eval_envs=args["eval_envs"])
             if args["noise_study"]:

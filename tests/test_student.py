@@ -58,3 +58,30 @@ def test_dagger_epoch_runs_and_learns_signal():
     assert float(metrics["episode/beta"]) > 0.999
     # distillation loss should clearly decrease on a fixed teacher
     assert losses[-1] < losses[0]
+
+
+def test_dagger_replay_aggregation():
+    """replay_size>0 = DAgger-proper (Ross et al.): the reservoir holds a
+    uniform sample of every labeled state so far; updates sample from it."""
+    cfg = default_task_config()
+    ppo_cfg = ppo_mod.PPOConfig(horizon=4, mini_epochs=2)
+    _, _, pstate, _ = ppo_mod.build(cfg, ppo_cfg, MODEL, SUBS, N, jax.random.PRNGKey(0))
+    teacher = ea.TeacherBundle(params=pstate.params, obs_rms=pstate.obs_rms,
+                               priv_rms=pstate.priv_rms)
+    da_cfg = ea.DAggerConfig(horizon=4, mini_epochs=2, replay_size=64)
+    student, tx, dstate, train_epoch = ea.build(
+        cfg, da_cfg, MODEL, SUBS, N, teacher, jax.random.PRNGKey(1)
+    )
+    assert dstate.replay is not None
+    assert int(dstate.replay_fill) == 0
+    step = jax.jit(train_epoch)
+    losses = []
+    for _ in range(3):
+        dstate, metrics = step(dstate)
+        losses.append(float(metrics["loss"]))
+    B = 4 * N  # horizon * envs per epoch
+    assert int(dstate.replay_fill) == min(3 * B, 64)
+    assert int(dstate.replay_cursor) == 3 * B  # total samples seen
+    assert np.all(np.isfinite(losses))
+    # newest samples actually landed in the buffer (not all zeros)
+    assert float(np.abs(np.asarray(dstate.replay["obs"])).sum()) > 0
