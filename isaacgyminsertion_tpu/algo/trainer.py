@@ -347,7 +347,10 @@ class DAggerTrainer:
             cfg_task, da_cfg, model, subs, n_envs, teacher, jax.random.PRNGKey(seed),
             phase3=phase3, gan_params=gan_params,
         )
-        self.train_epoch = jax.jit(train_epoch)
+        # donate the carried state: the replay reservoir (da_cfg.replay_size
+        # samples, GBs at scale) must update in place — without donation XLA
+        # holds input+output copies of the buffer across the epoch call
+        self.train_epoch = jax.jit(train_epoch, donate_argnums=0)
         if student_ckpt_path:
             # phase-2/3 restore: continue from a previous student
             tree = restore_path(student_ckpt_path)
