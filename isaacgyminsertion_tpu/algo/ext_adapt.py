@@ -138,6 +138,22 @@ def _student_inputs(da_cfg: DAggerConfig, state: DAggerState, out_obs, out, teac
     return inp
 
 
+def _sample_modalities(da_cfg: DAggerConfig, out, n_envs: int) -> dict:
+    """Modality arrays for one stored training sample, with everything the
+    student does NOT consume replaced by a zero-size [N, 0] placeholder.
+    `_student_inputs` never touches unused modalities, so the placeholder is
+    shape-compatible with the loss path while costing nothing in the rollout
+    batch or the replay reservoir. `seg` is kept when EITHER use_seg or
+    use_img is on (the depth image is seg-masked, ext_adapt.py:391-402)."""
+    empty = jnp.zeros((n_envs, 0), jnp.float32)
+    return dict(
+        tactile=out.tactile if da_cfg.use_tactile else empty,
+        img=out.img if da_cfg.use_img else empty,
+        seg=out.seg if (da_cfg.use_seg or da_cfg.use_img) else empty,
+        pcl=out.pcl if da_cfg.use_pcl else empty,
+    )
+
+
 def decoder_only_mask(student_params) -> Any:
     """Trainable-mask for phase-3 restores (ext_adapt.py ~1135-1150): freeze
     everything except the token-fusion decoder and the latent head."""
@@ -220,15 +236,18 @@ def build(
     cursor = fill = None
     if da_cfg.replay_size > 0:
         # aggregation ring buffer: one slot per labeled sample, shaped like
-        # the rollout sample dict (zero-size arrays for unused modalities
-        # stay zero-size — free). Frame fields are stored f16 (pure [0,1]
-        # frames / metric clouds; quantization ≪ the env's own DR noise).
+        # the rollout sample dict. ONLY student-consumed modalities are
+        # stored (`_sample_modalities`): the env may render img+seg purely to
+        # assemble the point cloud (the s2 recipe), and storing those too
+        # costs 28 KB/sample instead of 7 — 11 GB at K=400k, past v5e HBM.
+        # Frame fields are stored f16 (pure [0,1] frames / metric clouds;
+        # quantization ≪ the env's own DR noise).
         K = da_cfg.replay_size
         sample0 = dict(
             obs=env_state.obs_queue, student_obs=env_state.obs_stud_queue,
             t_actions=jnp.zeros((n_envs, cfg_task.env.num_actions)),
             latent_gt=jnp.zeros((n_envs, 8)),
-            tactile=out0.tactile, img=out0.img, seg=out0.seg, pcl=out0.pcl,
+            **_sample_modalities(da_cfg, out0, n_envs),
         )
         if da_cfg.use_priv:
             sample0["priv"] = out0.priv_info
@@ -325,8 +344,8 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
 
         sample = dict(
             obs=obs, student_obs=stud_obs_pre, t_actions=t_actions,
-            latent_gt=latent_gt, tactile=prev_out.tactile, img=prev_out.img,
-            seg=prev_out.seg, pcl=prev_out.pcl,
+            latent_gt=latent_gt,
+            **_sample_modalities(da_cfg, prev_out, obs.shape[0]),
         )
         if da_cfg.use_priv:
             sample["priv"] = priv
