@@ -89,6 +89,14 @@ class PPOConfig:
     # absorbing goal — the suspect behind diag/value_error_success ≈ 4×
     # value_error_fail. No reference counterpart; off by default.
     bootstrap_mask_success: bool = False
+    # Post-restore critic warmup (fine-tune lever, no reference counterpart):
+    # while agent_steps < critic_warmup_steps, only critic_mlp/value-head
+    # gradients are applied (actor_mlp, mu, log_std, priv_mlp frozen), so the
+    # value function re-fits to changed targets (e.g. bootstrap_mask_success
+    # rescales timeout targets) before any policy update. Round-4 phase-G
+    # showed why: restoring an 0.84 teacher into masked targets with a live
+    # actor destroyed it within the first 10M steps (eval 0.84 -> 0.41).
+    critic_warmup_steps: float = 0.0
     normalize_input: bool = True
     normalize_value: bool = True
     normalize_advantage: bool = True
@@ -356,10 +364,27 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
                 aux["kl_anchor"] = kl_anchor
             return loss, aux
 
+        if ppo_cfg.critic_warmup_steps > 0:
+            # critic-only phase: zero every non-critic gradient while
+            # agent_steps < critic_warmup_steps (see PPOConfig docstring).
+            warm = state.agent_steps < ppo_cfg.critic_warmup_steps
+
+            def _freeze_actor(grads):
+                def mask(path, g):
+                    keys = [getattr(p, "key", None) for p in path]
+                    is_critic = ("critic_mlp" in keys) or ("value" in keys)
+                    return g if is_critic else jnp.where(warm, 0.0, g)
+
+                return jax.tree_util.tree_map_with_path(mask, grads)
+        else:
+            def _freeze_actor(grads):
+                return grads
+
         def mb_update(carry, idx):
             params, opt_state = carry
             mb = jax.tree_util.tree_map(lambda x: x[idx], batch)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb)
+            grads = _freeze_actor(grads)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             aux["loss"] = loss

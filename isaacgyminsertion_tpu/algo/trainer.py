@@ -501,11 +501,23 @@ class DAggerTrainer:
                               {"noise_study/success_mean": results[noise][0],
                                "noise_study/success_std": results[noise][1]})
         try:
-            from ..utils.video import plot_traces
+            import matplotlib
 
-            arr = np.asarray([[m for m, _ in results.values()]]).T
-            plot_traces({"success_vs_noise": arr},
-                        f"{self.ckpt.out_dir}/noise_study.png")
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            xs = np.asarray(list(results.keys()))
+            means = np.asarray([m for m, _ in results.values()])
+            stds = np.asarray([s for _, s in results.values()])
+            fig, ax = plt.subplots(figsize=(7, 4))
+            ax.errorbar(xs, means, yerr=stds, marker="o", capsize=3, lw=1.2)
+            ax.set_xlabel("test-time pcl noise σ (m)")
+            ax.set_ylabel(f"success rate (mean±std, {trials} trials)")
+            ax.set_ylim(0.0, 1.0)
+            ax.grid(alpha=0.3)
+            fig.tight_layout()
+            fig.savefig(f"{self.ckpt.out_dir}/noise_study.png", dpi=110)
+            plt.close(fig)
         except Exception:
             pass
         return results

@@ -108,6 +108,7 @@ _KEYMAP = {
     "train.ppo.anchor_coef": ("ppo", "anchor_coef"),
     "train.ppo.value_bootstrap": ("ppo", "value_bootstrap"),
     "train.ppo.bootstrap_mask_success": ("ppo", "bootstrap_mask_success"),
+    "train.ppo.critic_warmup_steps": ("ppo", "critic_warmup_steps"),
     "train.ppo.normalize_input": ("ppo", "normalize_input"),
     "train.ppo.normalize_value": ("ppo", "normalize_value"),
     "train.ppo.normalize_advantage": ("ppo", "normalize_advantage"),

@@ -68,4 +68,50 @@ def composed(state, vals):
 
 check("D composed reservoir pattern", composed, (buf, jnp.zeros((), jnp.int32)),
       vals, donate_argnums=0)
+
+# E: REAL-SCALE miniature of the ext_adapt epoch: K=400k, B=16384 (256 envs x
+# horizon 64), pcl-sized f16 field + f32 obs fields in one donated dict,
+# sequential-fill-then-reservoir slots, traced randint upper bound for the
+# minibatch gather. If this fails where A-D pass, the trigger is scale or the
+# dict/mixed-dtype composition.
+KE, BE = 400_000, 16_384
+state_e = dict(
+    replay={
+        "pcl": jnp.zeros((KE, 1200, 3), jnp.float16),
+        "obs": jnp.zeros((KE, 15), jnp.float32),
+        "t_actions": jnp.zeros((KE, 6), jnp.float32),
+    },
+    cursor=jnp.zeros((), jnp.int32),
+    fill=jnp.zeros((), jnp.int32),
+)
+batch_e = dict(
+    pcl=jnp.ones((BE, 1200, 3), jnp.float32),
+    obs=jnp.ones((BE, 15), jnp.float32),
+    t_actions=jnp.ones((BE, 6), jnp.float32),
+)
+
+
+def real_scale(state, batch):
+    t = state["cursor"]
+    g = t + jnp.arange(BE)
+    r = (jax.random.uniform(jax.random.PRNGKey(2), (BE,))
+         * (g + 1).astype(jnp.float32)).astype(jnp.int32)
+    slot = jnp.where(g < KE, g, jnp.where(r < KE, r, KE))
+    replay = {k: state["replay"][k].at[slot].set(
+        batch[k].astype(state["replay"][k].dtype), mode="drop")
+        for k in state["replay"]}
+    fill = jnp.minimum(t + BE, KE)
+
+    def mb(c, i):
+        x = replay["pcl"][i].astype(jnp.float32)
+        return c + x.mean() + replay["obs"][i].mean(), None
+
+    perm = jax.random.randint(jax.random.PRNGKey(3), (8, 2048), 0,
+                              jnp.maximum(fill, 1))
+    tot, _ = jax.lax.scan(mb, 0.0, perm)
+    return dict(replay=replay, cursor=t + BE, fill=fill), tot
+
+
+check("E real-scale mixed-dict reservoir epoch", real_scale, state_e, batch_e,
+      donate_argnums=0)
 print("device:", jax.devices()[0].device_kind)

@@ -186,3 +186,35 @@ def test_adaptive_kl_lr_schedule():
         assert np.isfinite(float(metrics["loss"]))
         lrs.append(float(metrics["info/lr"]))
     assert all(1e-6 <= lr <= 1e-2 for lr in lrs)
+
+
+def test_critic_warmup_freezes_actor():
+    """critic_warmup_steps: actor/priv params must not move while
+    agent_steps < warmup; critic params must; after warmup the actor moves."""
+    warm_steps = 8 * N  # first epoch inside warmup (0 < 32), second outside
+    ppo_cfg = ppo_mod.PPOConfig(horizon=8, mini_epochs=2,
+                                critic_warmup_steps=float(warm_steps))
+    net, tx, state, train_epoch = ppo_mod.build(
+        CFG, ppo_cfg, MODEL, SUBS, N, jax.random.PRNGKey(5)
+    )
+    train_epoch = jax.jit(train_epoch)
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+    state, _ = train_epoch(state)
+    p1 = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+
+    def block(p, name):
+        return jax.tree_util.tree_leaves({k: v for k, v in p["params"].items()
+                                          if k == name})
+
+    for frozen in ("actor_mlp", "mu", "priv_mlp", "log_std"):
+        for a, b in zip(block(p0, frozen), block(p1, frozen)):
+            np.testing.assert_array_equal(a, b, err_msg=frozen)
+    moved = any(not np.array_equal(a, b)
+                for a, b in zip(block(p0, "critic_mlp"), block(p1, "critic_mlp")))
+    assert moved, "critic_mlp should update during warmup"
+
+    state, _ = train_epoch(state)  # agent_steps now past warmup
+    p2 = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+    actor_moved = any(not np.array_equal(a, b)
+                      for a, b in zip(block(p1, "actor_mlp"), block(p2, "actor_mlp")))
+    assert actor_moved, "actor should train after warmup"
