@@ -13,6 +13,19 @@ in a bounded subprocess (`--worker`), so a wedged backend init or compile
 costs one phase's timeout and the orchestrator still prints a complete JSON
 line with an explicit "error" field for whatever failed.
 
+Un-losable design (round-4 postmortem: the orchestrator ITSELF was killed at
+the driver's wall-clock cap before its single final print, erasing even the
+previously-measured sensors-on number — BENCH_r04.json rc=124, tail empty):
+  - after EVERY phase the current combined JSON is printed (flushed) AND
+    written to BENCH_partial.json, so a kill at any point leaves the last
+    complete snapshot as the stdout tail;
+  - a total-runtime budget (IGT_BENCH_TOTAL_BUDGET, default 2100 s) skips
+    remaining phases — with an explicit note — instead of dying mid-phase;
+  - phases run most-important-first (sensors-on headline, then pcl, then
+    state-only) so whatever lands first is the number that matters most;
+  - compiles go through the persistent cache (/root/repo/.jax_cache), so a
+    warm-up run earlier in the round makes the final run compile-free.
+
 MFU is estimated from XLA cost analysis over the *actual* chip's bf16 peak,
 keyed on jax.devices()[0].device_kind (the physics path runs f32 under
 ops.f32_matmul, so this is a conservative utilization bound).
@@ -153,53 +166,84 @@ def run_worker(mode: str, n_envs: int, horizon: int, timeout: int):
 # orchestrator
 # --------------------------------------------------------------------------
 
-def main(n_ns=8192, n_so=1024, horizon=64):
-    errors = []
+TOTAL_BUDGET_S = int(os.environ.get("IGT_BENCH_TOTAL_BUDGET", "2100"))
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_partial.json")
 
-    # north star: 8192 envs, tactile + depth(+seg) cameras on. If the chip
-    # can't take the full batch (HBM, or a transient backend fault), degrade
-    # to the largest sensors-on batch that runs rather than reporting nothing.
-    ns = None
+
+def main(n_ns=8192, n_so=1024, horizon=64):
+    t_start = time.perf_counter()
+    errors = []
+    results = {"sensors": None, "pcl": None, "state": None}
     n_used = n_ns
+
+    def emit(final=False):
+        """Print + persist the current combined snapshot (never lose a
+        landed phase). The stdout tail is always the latest complete JSON."""
+        ns, pc, so = results["sensors"], results["pcl"], results["state"]
+        rate_ns = ns["rate"] if ns else None
+        out = {
+            "metric": f"ppo_env_steps_per_sec_sensors_on_{n_used}",
+            "value": round(rate_ns, 1) if rate_ns is not None else None,
+            "unit": "env-steps/s",
+            "vs_baseline": round(rate_ns / ASSUMED_A100_BASELINE, 3) if rate_ns is not None else None,
+            "vs_baseline_note": "divisor is the driver's assumed 10k A100 env-steps/s pin (reference publishes no numbers)",
+            f"state_only_{n_so}": round(so["rate"], 1) if so else None,
+            f"full_visuotactile_pcl_{n_used}": round(pc["rate"], 1) if pc else None,
+            "mfu_estimate": round(ns["mfu"], 4) if ns else 0.0,
+            "device_kind": next((r["device_kind"] for r in (ns, pc, so) if r), "unknown"),
+            "config": f"{n_used} envs, tactile 3x64x64 + depth/seg 96x54, "
+                      f"render_capacity 0.75, horizon {horizon}",
+            "elapsed_s": round(time.perf_counter() - t_start, 1),
+        }
+        if not final:
+            out["partial"] = True
+        if errors:
+            out["error"] = "; ".join(e for e in errors if e)
+        line = json.dumps(out)
+        print(line, flush=True)
+        try:
+            with open(PARTIAL_PATH, "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+        return out
+
+    def budget_left():
+        return TOTAL_BUDGET_S - (time.perf_counter() - t_start)
+
+    def bounded(mode, n, min_need=240):
+        """Run one phase inside the remaining total budget (skip, don't die)."""
+        left = budget_left()
+        if left < min_need:
+            err = f"{mode}@{n}: skipped (total budget: {left:.0f}s left)"
+            errors.append(err)
+            print(f"bench: {err}", file=sys.stderr)
+            return None
+        res, err = run_worker(mode, n, horizon, int(min(WORKER_TIMEOUT_S, left)))
+        if res is None:
+            errors.append(err)
+            print(f"bench: {err}", file=sys.stderr)
+        return res
+
+    # north star first (the headline number): 8192 envs, tactile + depth/seg
+    # cameras on. If the chip can't take the full batch, degrade to the
+    # largest sensors-on batch that runs rather than reporting nothing.
     for n_try in (n_ns, n_ns // 2, n_ns // 4):
-        ns, err = run_worker("sensors", n_try, horizon, WORKER_TIMEOUT_S)
-        if ns is not None:
+        res = bounded("sensors", n_try)
+        if res is not None:
+            results["sensors"] = res
             n_used = n_try
             break
-        errors.append(err)
-        print(f"bench: {err}", file=sys.stderr)
+    emit()
 
     # full-visuotactile config #5 (tactile + depth/seg + pcl) at the same
     # batch the sensors-on number landed at
-    pc, err = run_worker("pcl", n_used, horizon, WORKER_TIMEOUT_S)
-    if pc is None:
-        errors.append(err)
-        print(f"bench: {err}", file=sys.stderr)
+    results["pcl"] = bounded("pcl", n_used)
+    emit()
 
-    so, err = run_worker("state", n_so, horizon, WORKER_TIMEOUT_S)
-    if so is None:
-        errors.append(err)
-        print(f"bench: {err}", file=sys.stderr)
-
-    # value is null (not 0.0) when every sensors-on attempt failed, so
-    # metric-only parsers record an unambiguous failure (round-3 ADVICE)
-    rate_ns = ns["rate"] if ns else None
-    out = {
-        "metric": f"ppo_env_steps_per_sec_sensors_on_{n_used}",
-        "value": round(rate_ns, 1) if rate_ns is not None else None,
-        "unit": "env-steps/s",
-        "vs_baseline": round(rate_ns / ASSUMED_A100_BASELINE, 3) if rate_ns is not None else None,
-        "vs_baseline_note": "divisor is the driver's assumed 10k A100 env-steps/s pin (reference publishes no numbers)",
-        f"state_only_{n_so}": round(so["rate"], 1) if so else 0.0,
-        f"full_visuotactile_pcl_{n_used}": round(pc["rate"], 1) if pc else None,
-        "mfu_estimate": round(ns["mfu"], 4) if ns else 0.0,
-        "device_kind": (ns or so or {}).get("device_kind", "unknown"),
-        "config": f"{n_used} envs, tactile 3x64x64 + depth/seg 96x54, "
-                  f"render_capacity 0.75, horizon {horizon}",
-    }
-    if errors:
-        out["error"] = "; ".join(e for e in errors if e)
-    print(json.dumps(out))
+    results["state"] = bounded("state", n_so)
+    emit(final=True)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,23 @@ def collect_teacher_rollouts(
         env_state, rng, recs = chunk_jit(env_state, rng)
         logger.add_chunk({k: np.asarray(v) for k, v in recs.items()})
     logger.close()
+    # manifest: the generation is deterministic in (seed, n_envs, config), so
+    # a lost dataset is exactly reproducible from this record (VERDICT r4
+    # item 4: traj_r3 vanished with outputs/ and nothing pinned how to
+    # regenerate it)
+    import json
+    import os
+
+    manifest = dict(
+        seed=seed, n_envs=n_envs, deterministic=deterministic, chunk=chunk,
+        total_trajectories=total_trajectories, count=logger.writer.count,
+        modalities=dict(tactile=cfg_task.env.tactile,
+                        depth=cfg_task.env.depth_cam,
+                        seg=cfg_task.env.seg_cam, pcl=cfg_task.env.pcl_cam),
+        files=sorted(f for f in os.listdir(out_dir) if f.endswith(".npz")),
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
     return logger.writer.count
 
 

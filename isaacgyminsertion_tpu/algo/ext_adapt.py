@@ -77,6 +77,18 @@ class DAggerConfig:
     # teacher-state fit while chasing the newest self-state slice. 0 = off
     # (reference behavior).
     replay_size: int = 0
+    # Replay execution mode:
+    #   "device_split" (default) — rollout, reservoir scatter, and the
+    #     minibatch-update loop run as THREE separate jits; the replay
+    #     buffers live as plain device arrays owned by the host driver, the
+    #     write cursor is host state. This is the shape of probe_replay_tpu
+    #     probes A–E, all of which pass on chip at real scale, and it keeps
+    #     the rollout graph identical to the known-good no-replay epoch.
+    #   "in_graph" — the round-4 single-jit variant (replay carried through
+    #     the donated epoch state). Deterministically dies on TPU with
+    #     InvalidArgument at K=400k and compile-scales badly at K=100k
+    #     (ROUND4/5_NOTES); kept for the crash repro and CPU tests.
+    replay_mode: str = "device_split"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -232,39 +244,58 @@ def build(
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, labels
         )
+    split = da_cfg.replay_size > 0 and da_cfg.replay_mode == "device_split"
     replay = None
     cursor = fill = None
     if da_cfg.replay_size > 0:
-        # aggregation ring buffer: one slot per labeled sample, shaped like
-        # the rollout sample dict. ONLY student-consumed modalities are
-        # stored (`_sample_modalities`): the env may render img+seg purely to
-        # assemble the point cloud (the s2 recipe), and storing those too
-        # costs 28 KB/sample instead of 7 — 11 GB at K=400k, past v5e HBM.
-        # Frame fields are stored f16 (pure [0,1] frames / metric clouds;
-        # quantization ≪ the env's own DR noise).
-        K = da_cfg.replay_size
-        sample0 = dict(
-            obs=env_state.obs_queue, student_obs=env_state.obs_stud_queue,
-            t_actions=jnp.zeros((n_envs, cfg_task.env.num_actions)),
-            latent_gt=jnp.zeros((n_envs, 8)),
-            **_sample_modalities(da_cfg, out0, n_envs),
-        )
-        if da_cfg.use_priv:
-            sample0["priv"] = out0.priv_info
-        _half = lambda k, x: (jnp.float16 if k in ("tactile", "img", "seg", "pcl")
-                              and x.dtype == jnp.float32 else x.dtype)
-        replay = {k: jnp.zeros((K,) + v.shape[1:], _half(k, v))
-                  for k, v in sample0.items()}
-        cursor = jnp.zeros((), jnp.int32)
-        fill = jnp.zeros((), jnp.int32)
+        replay0 = _replay_arrays(cfg_task, da_cfg, env_state, out0, n_envs)
+        if not split:  # in-graph mode carries the reservoir in the state
+            replay = replay0
+            cursor = jnp.zeros((), jnp.int32)
+            fill = jnp.zeros((), jnp.int32)
     state = dummy_state._replace(
         student_params=student_params,
         opt_state=tx.init(student_params),
         env_state=env_state,
         replay=replay, replay_cursor=cursor, replay_fill=fill,
     )
-    train_epoch = make_train_epoch(cfg_task, da_cfg, model, subs, teacher_net, teacher, student, tx, gan_params=gan_params)
+    if split:
+        train_epoch = make_split_replay_epoch(
+            cfg_task, da_cfg, model, subs, teacher_net, teacher, student, tx,
+            replay0, n_envs, gan_params=gan_params)
+    else:
+        train_epoch = make_train_epoch(cfg_task, da_cfg, model, subs, teacher_net, teacher, student, tx, gan_params=gan_params)
     return student, tx, state, train_epoch
+
+
+def _replay_arrays(cfg_task, da_cfg: DAggerConfig, env_state, out0, n_envs):
+    """Zero-initialized reservoir, one slot per labeled sample, shaped like
+    the rollout sample dict. ONLY student-consumed modalities are stored
+    (`_sample_modalities`): the env may render img+seg purely to assemble the
+    point cloud (the s2 recipe), and storing those too costs 28 KB/sample
+    instead of 7 — 11 GB at K=400k, past v5e HBM. Frame fields are stored f16
+    (pure [0,1] frames / metric clouds; quantization ≪ the env's own DR
+    noise)."""
+    K = da_cfg.replay_size
+    sample0 = dict(
+        obs=env_state.obs_queue, student_obs=env_state.obs_stud_queue,
+        t_actions=jnp.zeros((n_envs, cfg_task.env.num_actions)),
+        latent_gt=jnp.zeros((n_envs, 8)),
+        **_sample_modalities(da_cfg, out0, n_envs),
+    )
+    if da_cfg.use_priv:
+        sample0["priv"] = out0.priv_info
+    _half = lambda k, x: (jnp.float16 if k in ("tactile", "img", "seg", "pcl")
+                          and x.dtype == jnp.float32 else x.dtype)
+    # Distinct fill value per key, NOT zeros. Two same-shaped all-zero arrays
+    # can be deduplicated into ONE device buffer (runtime/backend dependent;
+    # XLA also CSEs identical outputs of one executable) — and a donated dict
+    # containing the same buffer twice dies with INVALID_ARGUMENT "Attempt to
+    # donate the same buffer twice in Execute()" — the round-4 chip crash
+    # class (ROUND5_NOTES). Pre-fill slots are never read: minibatch sampling
+    # is bounded by the fill count, which only covers written slots.
+    return {k: jnp.full((K,) + v.shape[1:], (i + 1) * 1e-6, _half(k, v))
+            for i, (k, v) in enumerate(sample0.items())}
 
 
 def make_student_act(cfg_task, da_cfg: DAggerConfig, teacher_net,
@@ -302,8 +333,9 @@ def _prev_out_of(env_state, cfg_task):
     )
 
 
-def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
-                     teacher: TeacherBundle, student, tx, gan_params=None):
+def _make_core(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
+               teacher: TeacherBundle, student, gan_params=None):
+    """rollout_step + loss_fn, shared by the in-graph and split epoch builders."""
     env_step = lambda s, a: insertion.step(cfg_task, model, subs, s, a,
                                            gan_params=gan_params)
     act_dim = cfg_task.env.num_actions
@@ -371,6 +403,15 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
             latent_loss = jnp.mean(jnp.square(s_latent - mb["latent_gt"]))
             loss = loss + da_cfg.latent_loss_coef * latent_loss
         return loss, {"action_loss": action_loss, "latent_loss": latent_loss}
+
+    return rollout_step, loss_fn
+
+
+def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
+                     teacher: TeacherBundle, student, tx, gan_params=None):
+    """Single-jit epoch: rollout + (optional in-graph reservoir) + updates."""
+    rollout_step, loss_fn = _make_core(cfg_task, da_cfg, model, subs,
+                                       teacher_net, teacher, student, gan_params)
 
     def train_epoch(state: DAggerState):
         carry = (state.env_state, state, state.rng)
@@ -455,3 +496,143 @@ def make_train_epoch(cfg_task, da_cfg: DAggerConfig, model, subs, teacher_net,
         return new_state, metrics
 
     return train_epoch
+
+
+def make_split_replay_epoch(cfg_task, da_cfg: DAggerConfig, model, subs,
+                            teacher_net, teacher: TeacherBundle, student, tx,
+                            replay0, n_envs: int, gan_params=None):
+    """Replay DAgger epoch as THREE jits composed on the host (the default
+    `replay_mode="device_split"`).
+
+    Why not one fused graph: the round-4 in-graph variant (multi-GB reservoir
+    donated through the epoch's scan carry) dies on TPU with a deterministic
+    `InvalidArgument` at K=400k and compile-scales badly at K=100k, while the
+    same reservoir pattern in ISOLATION (probe_replay_tpu.py A–E: real-scale
+    scatter, mixed f16/f32 dict, donated carry, traced randint bound) passes
+    on chip. This builder reproduces the passing shape:
+
+      1. `rollout(state)`   — identical graph to the known-good no-replay
+                              epoch's rollout: scan over the env step, teacher
+                              + student forwards, RMS updates; returns the
+                              flattened [B, ...] sample batch.
+      2. `scatter(replay, batch, t, key)` — Algorithm R reservoir write,
+                              replay donated (in-place), cursor `t` is HOST
+                              state passed as a traced scalar.
+      3. `update(params, opt, norms, replay, fill, key)` — mini_epochs ×
+                              n_mb minibatch updates gathered from the
+                              reservoir (replay is a read-only input here).
+
+    Everything stays on device; the host only sequences the three calls and
+    advances the integer cursor. The returned callable carries
+    `host_composed=True` so the trainer does not re-jit it, plus `.replay` /
+    `.cursor` attributes for inspection and tests."""
+    rollout_step, loss_fn = _make_core(cfg_task, da_cfg, model, subs,
+                                       teacher_net, teacher, student, gan_params)
+    K = da_cfg.replay_size
+    B = da_cfg.horizon * n_envs
+    mb_size = max(B // da_cfg.mini_epochs, 1)
+    n_mb = B // mb_size
+
+    def rollout(state: DAggerState):
+        carry = (state.env_state, state, state.rng)
+        (env_state, state, rng), (traj, roll_metrics) = jax.lax.scan(
+            rollout_step, carry, None, length=da_cfg.horizon
+        )
+        stud_obs_rms = rms_update(state.stud_obs_rms, traj["student_obs"])
+        pcl_rms = (
+            rms_update(state.pcl_rms, traj["pcl"].reshape(-1, 3))
+            if da_cfg.use_pcl and traj["pcl"].size else state.pcl_rms
+        )
+        rng, k_res, k_upd = jax.random.split(rng, 3)
+        state = state._replace(
+            stud_obs_rms=stud_obs_rms, pcl_rms=pcl_rms, env_state=env_state,
+            rng=rng, epoch=state.epoch + 1,
+        )
+        batch = {k: v.reshape((B,) + v.shape[2:]) for k, v in traj.items()}
+        roll = jax.tree_util.tree_map(jnp.mean, roll_metrics)
+        return state, batch, roll, k_res, k_upd
+
+    def scatter(replay, batch, t, key):
+        # Algorithm R: sequential fill until full; then global sample g lands
+        # at slot r ~ U[0, g] and is dropped if r >= K (scatter mode='drop')
+        g = t + jnp.arange(B)
+        r = (jax.random.uniform(key, (B,)) * (g + 1).astype(jnp.float32)
+             ).astype(jnp.int32)
+        slot = jnp.where(g < K, g, jnp.where(r < K, r, K))  # K = dropped
+        return {k: replay[k].at[slot].set(
+            batch[k].astype(replay[k].dtype), mode="drop")
+            for k in replay}
+
+    def update(params, opt_state, stud_obs_rms, pcl_rms, replay, fill, key):
+        da_like = DAggerState(
+            student_params=None, opt_state=None, stud_obs_rms=stud_obs_rms,
+            pcl_rms=pcl_rms, env_state=None, rng=None,
+            epoch=None, agent_steps=None,
+        )
+
+        def mb_update(carry, idx):
+            params, opt_state = carry
+            mb = {k: v[idx].astype(jnp.float32) if v.dtype == jnp.float16
+                  else v[idx] for k, v in replay.items()}
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, da_like, mb)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return (params, opt_state), aux
+
+        def epoch_body(carry, _):
+            params, opt_state, rng_i = carry
+            rng_i, kp = jax.random.split(rng_i)
+            perm = jax.random.randint(kp, (n_mb, mb_size), 0,
+                                      jnp.maximum(fill, 1))
+            (params, opt_state), aux = jax.lax.scan(
+                mb_update, (params, opt_state), perm)
+            return (params, opt_state, rng_i), jax.tree_util.tree_map(jnp.mean, aux)
+
+        (params, opt_state, _), aux = jax.lax.scan(
+            epoch_body, (params, opt_state, key), None,
+            length=da_cfg.mini_epochs,
+        )
+        return params, opt_state, jax.tree_util.tree_map(jnp.mean, aux)
+
+    # Donation policy (the crux of the round-4 InvalidArgument, ROUND5_NOTES):
+    # a jitted program's outputs can be CSE'd — two identical-valued outputs
+    # (e.g. plug_pos / obs_plug_pos right after a reset) share ONE device
+    # buffer — and donating a pytree containing the same buffer twice dies
+    # with INVALID_ARGUMENT "donate the same buffer twice in Execute()".
+    # So: rollout/update are NOT donated (their states are CSE-prone epoch
+    # outputs; the buffers are small at student scale). The multi-GB replay
+    # IS donated — safe because its arrays are distinct by construction
+    # (per-key fill values) and scatter outputs are per-key distinct scatter
+    # ops XLA cannot CSE. IGT_REPLAY_DONATE=0 opts out (costs a 2x replay
+    # double-buffer during the scatter).
+    import os as _os
+    rollout_jit = jax.jit(rollout)
+    if _os.environ.get("IGT_REPLAY_DONATE", "1") == "1":
+        scatter_jit = jax.jit(scatter, donate_argnums=0)
+    else:
+        scatter_jit = jax.jit(scatter)
+    update_jit = jax.jit(update)
+
+    class SplitEpoch:
+        host_composed = True
+
+        def __init__(self):
+            self.replay = replay0
+            self.cursor = 0  # total labeled samples seen (host int)
+
+        def __call__(self, state: DAggerState):
+            state, batch, roll, k_res, k_upd = rollout_jit(state)
+            self.replay = scatter_jit(self.replay, batch,
+                                      jnp.asarray(self.cursor, jnp.int32), k_res)
+            self.cursor += B
+            fill = jnp.asarray(min(self.cursor, K), jnp.int32)
+            params, opt_state, aux = update_jit(
+                state.student_params, state.opt_state, state.stud_obs_rms,
+                state.pcl_rms, self.replay, fill, k_upd)
+            state = state._replace(student_params=params, opt_state=opt_state)
+            metrics = {**aux, **{f"episode/{k}": v for k, v in roll.items()}}
+            return state, metrics
+
+    return SplitEpoch()

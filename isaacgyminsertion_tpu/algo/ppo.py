@@ -97,6 +97,13 @@ class PPOConfig:
     # showed why: restoring an 0.84 teacher into masked targets with a live
     # actor destroyed it within the first 10M steps (eval 0.84 -> 0.41).
     critic_warmup_steps: float = 0.0
+    # During the warmup window, also freeze the obs/priv normalizers so the
+    # restored actor is frozen BEHAVIORALLY, not just in parameters (round-4
+    # ADVICE: rms stats drifting under a frozen actor still shift its
+    # effective actions; negligible for a converged-RMS restore, but strict
+    # freezing costs nothing). value_rms keeps updating — the critic refit
+    # needs it.
+    warmup_freeze_rms: bool = True
     normalize_input: bool = True
     normalize_value: bool = True
     normalize_advantage: bool = True
@@ -273,6 +280,15 @@ def make_train_epoch(cfg_task, ppo_cfg: PPOConfig, model, subs, net, tx,
         obs_rms = rms_update(state.obs_rms, traj.obs) if ppo_cfg.normalize_input else state.obs_rms
         priv_rms = rms_update(state.priv_rms, traj.priv) if ppo_cfg.normalize_input else state.priv_rms
         value_rms = rms_update(state.value_rms, returns) if ppo_cfg.normalize_value else state.value_rms
+        if ppo_cfg.critic_warmup_steps > 0 and ppo_cfg.warmup_freeze_rms:
+            # strict behavioral freeze of the actor during critic warmup
+            # (PPOConfig.warmup_freeze_rms): keep the old obs/priv stats
+            # while agent_steps < critic_warmup_steps
+            warm_rms = state.agent_steps < ppo_cfg.critic_warmup_steps
+            keep = lambda old, new: jax.tree_util.tree_map(
+                lambda o, n: jnp.where(warm_rms, o, n), old, new)
+            obs_rms = keep(state.obs_rms, obs_rms)
+            priv_rms = keep(state.priv_rms, priv_rms)
 
         returns_n = rms_normalize(value_rms, returns, clip=1e6) if ppo_cfg.normalize_value else returns
         values_n = rms_normalize(value_rms, traj.values, clip=1e6) if ppo_cfg.normalize_value else traj.values

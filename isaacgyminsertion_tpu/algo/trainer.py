@@ -347,10 +347,22 @@ class DAggerTrainer:
             cfg_task, da_cfg, model, subs, n_envs, teacher, jax.random.PRNGKey(seed),
             phase3=phase3, gan_params=gan_params,
         )
-        # donate the carried state: the replay reservoir (da_cfg.replay_size
-        # samples, GBs at scale) must update in place — without donation XLA
-        # holds input+output copies of the buffer across the epoch call
-        self.train_epoch = jax.jit(train_epoch, donate_argnums=0)
+        if getattr(train_epoch, "host_composed", False):
+            # replay_mode="device_split": the epoch is already a host
+            # composition of three jits (rollout / reservoir scatter /
+            # update) with its own donation policy; re-jitting it is
+            # impossible (it owns host cursor state) and unnecessary
+            self.train_epoch = train_epoch
+        elif da_cfg.replay_size > 0:
+            # in-graph replay (repro mode): the round-4 donated-epoch shape,
+            # kept verbatim — donating a state whose identical-valued
+            # outputs XLA may CSE into one buffer is exactly what dies with
+            # InvalidArgument "donate the same buffer twice" (ROUND5_NOTES)
+            self.train_epoch = jax.jit(train_epoch, donate_argnums=0)
+        else:
+            # no replay: nothing multi-GB in the carry; skip donation to
+            # stay clear of the CSE-aliased-donation crash class
+            self.train_epoch = jax.jit(train_epoch)
         if student_ckpt_path:
             # phase-2/3 restore: continue from a previous student
             tree = restore_path(student_ckpt_path)

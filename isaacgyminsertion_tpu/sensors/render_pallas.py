@@ -45,6 +45,14 @@ def _block_r(override: int | None = None) -> int:
     return int(os.environ.get("IGT_RENDER_BLOCK_R", BLOCK_R))
 
 
+def _max_rows() -> int:
+    """Row cap per pallas_call; bigger batches are chunked by the fused
+    wrappers (round-4 chip postmortem: 24,576 un-gathered rows Mosaic-OOMed
+    at 17.72 MB scoped VMEM vs the 16 MB limit). Output is identical —
+    chunks are independent grid row-ranges."""
+    return int(os.environ.get("IGT_RENDER_MAX_ROWS", 16384))
+
+
 def _pad_axis(x, size, axis, value=0.0):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -292,6 +300,25 @@ def tactile_march_fused(
     to XLA threefry under interpret mode where that primitive is missing."""
     rr, hw = M.shape[0], rays_c.shape[0]
     assert hw % LANE == 0, "pad pixel count to a lane multiple"
+    max_rows = _max_rows()
+    if rr > max_rows:
+        # Row-chunk oversized batches (round-4 chip postmortem: a 24,576-row
+        # un-gathered call Mosaic-OOMed at 17.72 MB scoped VMEM vs the 16 MB
+        # limit; the production render-on-demand path gathers to ≤ capacity
+        # rows and never hits this, but tools and ungated callers can).
+        # Identical output: each chunk is an independent grid row-range.
+        outs = []
+        for s in range(0, rr, max_rows):
+            e = min(s + max_rows, rr)
+            nk = None if noise_key is None else jax.random.fold_in(noise_key, s)
+            outs.append(tactile_march_fused(
+                M[s:e], o[s:e], kind_onehot[s:e], hx[s:e], hy[s:e],
+                length[s:e], force[s:e], rays_c, iters, max_range,
+                max_deformation, force_range, t0=t0, interpret=interpret,
+                exact=exact, mask_flat=mask_flat, noise_key=nk,
+                noise_std=noise_std, glow=glow, block_r=block_r,
+                noise_kind=noise_kind))
+        return jnp.concatenate(outs, axis=0)
     br = _block_r(block_r)
     r_pad = ((rr + br - 1) // br) * br
 
@@ -542,6 +569,25 @@ def camera_march_fused(
     it, d_min is 0.0 on hit / 1.0 on miss)."""
     n, hw = M_plug.shape[0], rays_c.shape[0]
     assert hw % LANE == 0
+    max_rows = _max_rows()
+    if n > max_rows:
+        # row-chunk oversized batches (see tactile_march_fused / _max_rows)
+        parts = []
+        for s in range(0, n, max_rows):
+            e = min(s + max_rows, n)
+            parts.append(camera_march_fused(
+                M_plug[s:e], o_plug[s:e], M_sock[s:e], o_sock[s:e],
+                cam_R_zrow[s:e], cam_z[s:e], kind_onehot[s:e],
+                plug_hx[s:e], plug_hy[s:e], plug_length[s:e], hole_hx[s:e],
+                hole_hy[s:e], socket_height[s:e], table_h[s:e], rays_c,
+                iters, near, far, plate_hx, plate_hy,
+                tips_cam=None if tips_cam is None else tips_cam[s:e],
+                wrist_cam=None if wrist_cam is None else wrist_cam[s:e],
+                hand_cam=None if hand_cam is None else hand_cam[s:e],
+                tip_radius=tip_radius, hand_radius=hand_radius,
+                interpret=interpret, exact=exact, block_r=block_r))
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(3))
     br = _block_r(block_r)
     n_pad = ((n + br - 1) // br) * br
 

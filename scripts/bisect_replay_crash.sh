@@ -5,6 +5,7 @@
 # is in the composed epoch. Run the REAL recipe for 2 epochs at descending
 # replay sizes; first config that survives marks the boundary.
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 TEACHER=${TEACHER:-checkpoints/teacher_r2b/best_success.ckpt}
 for K in 400000 100000 0; do

@@ -34,19 +34,32 @@ bank() {
 
 TEACHER=${TEACHER:-checkpoints/teacher_r2b/best_success.ckpt}
 
-echo "=== [1] student reservoir retrain (K=${REPLAY_K:-400000}) $(date) ==="
+echo "=== [1] student reservoir retrain (K=${REPLAY_K:-100000}) $(date) ==="
+STAGE1_START=$(date +%s)
+STAGE1_OK=0
 if wait_tpu; then
-  REPLAY_K="${REPLAY_K:-400000}" STUDENT_S="${STUDENT_S:-4800}" \
+  REPLAY_K="${REPLAY_K:-100000}" STUDENT_S="${STUDENT_S:-4800}" \
     bash scripts/retrain_student_r4.sh > /tmp/r4b_student.log 2>&1
   echo "student rc=$?"
+  # stage gate (round-4 postmortem: a crashed retrain let stage [2] silently
+  # evaluate a stale checkpoint): stage 1 counts only if it wrote non-empty
+  # metrics AFTER it started
+  if [ -s outputs/student_r4_rep2/metrics.jsonl ] && \
+     [ "$(stat -c %Y outputs/student_r4_rep2/metrics.jsonl)" -ge "$STAGE1_START" ]; then
+    STAGE1_OK=1
+  fi
 fi
 grep -h "dagger eval" /tmp/r4b_student.log 2>/dev/null | tail -8
 
 echo "=== [2] student noise study (10x10) $(date) ==="
 SCK=""
 for c in checkpoints/student_r4/best_success.ckpt checkpoints/student_r4/last.ckpt; do
-  [ -f "$c" ] && SCK="$c" && break
+  [ -f "$c" ] && [ "$(stat -c %Y "$c")" -ge "$STAGE1_START" ] && SCK="$c" && break
 done
+if [ "$STAGE1_OK" != 1 ]; then
+  echo "stage [2] skipped: stage [1] produced no fresh metrics (would evaluate a stale checkpoint)"
+  SCK=""
+fi
 if [ -n "$SCK" ] && wait_tpu; then
   CKPT="$TEACHER" STUDENT_CKPT="$SCK" NUM_ENVS=256 \
     timeout "${NOISE_S:-2400}" bash scripts/eval_s2.sh noise_study=True \

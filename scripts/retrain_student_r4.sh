@@ -14,7 +14,7 @@ OUT=${OUT:-outputs/student_r4_rep2}
 (
   while sleep 120; do
     for f in metrics.jsonl best_success.ckpt last.ckpt; do
-      [ -e "$OUT/$f" ] && cp "$OUT/$f" checkpoints/student_r4/ 2>/dev/null
+      [ -s "$OUT/$f" ] && cp "$OUT/$f" checkpoints/student_r4/ 2>/dev/null
     done
   done
 ) &
@@ -22,12 +22,12 @@ BANKER=$!
 trap 'kill $BANKER 2>/dev/null' EXIT
 
 CKPT="$TEACHER" NUM_ENVS=256 timeout "${STUDENT_S:-4500}" bash scripts/train_s2.sh \
-  dagger.replay_size="${REPLAY_K:-400000}" \
+  dagger.replay_size="${REPLAY_K:-100000}" \
   eval_freq_steps=2e6 eval_envs=256 max_epochs="${STUDENT_EPOCHS:-1500}" \
   output="$OUT"
 rc=$?
 echo "student rc=$rc (124 = wall-clock cap)"
 for f in metrics.jsonl best_success.ckpt last.ckpt; do
-  [ -e "$OUT/$f" ] && cp "$OUT/$f" checkpoints/student_r4/ && echo "banked $f"
+  [ -s "$OUT/$f" ] && cp "$OUT/$f" checkpoints/student_r4/ && echo "banked $f"
 done
 exit $rc

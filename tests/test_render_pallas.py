@@ -156,3 +156,27 @@ def test_tactile_in_kernel_noise_finite_on_tpu():
         assert interior.mean() > 0.1
         assert abs(resid[interior].std() - 0.02) < 0.004, kind
         assert abs(resid[interior].mean()) < 0.002, kind
+
+
+def test_row_chunking_identical(monkeypatch):
+    """IGT_RENDER_MAX_ROWS chunking (round-5 VMEM-OOM guard) must produce
+    bit-identical output: chunks are independent grid row-ranges."""
+    rng = np.random.default_rng(2)
+    n, f = 2, 3
+    cfg = T.TactileConfig(march_iters=8)
+    tip_q = rot.quat_unit(jnp.asarray(rng.normal(size=(n, f, 4)), jnp.float32))
+    tip_t = jnp.asarray(rng.uniform(0.45, 0.55, (n, f, 3)), jnp.float32)
+    plug_q = rot.quat_unit(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32))
+    plug_pos = jnp.asarray(rng.uniform(0.45, 0.55, (n, 3)), jnp.float32)
+    oh = jnp.eye(6)[rng.integers(0, 6, n)]
+    hx = jnp.asarray(rng.uniform(0.005, 0.02, n), jnp.float32)
+    hy = jnp.asarray(rng.uniform(0.005, 0.02, n), jnp.float32)
+    ln = jnp.asarray(rng.uniform(0.03, 0.06, n), jnp.float32)
+    force = jnp.asarray(rng.uniform(0, 8, (n, f)), jnp.float32)
+
+    a = np.asarray(T.render_tactile(cfg, tip_q, tip_t, plug_q, plug_pos, oh,
+                                    hx, hy, ln, force, fused=True))
+    monkeypatch.setenv("IGT_RENDER_MAX_ROWS", "4")  # n*f=6 rows -> 2 chunks
+    b = np.asarray(T.render_tactile(cfg, tip_q, tip_t, plug_q, plug_pos, oh,
+                                    hx, hy, ln, force, fused=True))
+    np.testing.assert_array_equal(a, b)

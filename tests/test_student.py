@@ -60,15 +60,17 @@ def test_dagger_epoch_runs_and_learns_signal():
     assert losses[-1] < losses[0]
 
 
-def test_dagger_replay_aggregation():
+def test_dagger_replay_aggregation_in_graph():
     """replay_size>0 = DAgger-proper (Ross et al.): the reservoir holds a
-    uniform sample of every labeled state so far; updates sample from it."""
+    uniform sample of every labeled state so far; updates sample from it.
+    In-graph mode (round-4 single-jit variant, kept for repro/tests)."""
     cfg = default_task_config()
     ppo_cfg = ppo_mod.PPOConfig(horizon=4, mini_epochs=2)
     _, _, pstate, _ = ppo_mod.build(cfg, ppo_cfg, MODEL, SUBS, N, jax.random.PRNGKey(0))
     teacher = ea.TeacherBundle(params=pstate.params, obs_rms=pstate.obs_rms,
                                priv_rms=pstate.priv_rms)
-    da_cfg = ea.DAggerConfig(horizon=4, mini_epochs=2, replay_size=64)
+    da_cfg = ea.DAggerConfig(horizon=4, mini_epochs=2, replay_size=64,
+                             replay_mode="in_graph")
     student, tx, dstate, train_epoch = ea.build(
         cfg, da_cfg, MODEL, SUBS, N, teacher, jax.random.PRNGKey(1)
     )
@@ -85,3 +87,38 @@ def test_dagger_replay_aggregation():
     assert np.all(np.isfinite(losses))
     # newest samples actually landed in the buffer (not all zeros)
     assert float(np.abs(np.asarray(dstate.replay["obs"])).sum()) > 0
+
+
+def test_dagger_replay_device_split_default():
+    """Default replay mode = device_split (the TPU-safe three-jit shape,
+    round-5 fix for the K=400k InvalidArgument): same reservoir semantics,
+    but the buffer is host-driver state and the epoch is a host composition
+    the trainer must NOT re-jit."""
+    cfg = default_task_config()
+    ppo_cfg = ppo_mod.PPOConfig(horizon=4, mini_epochs=2)
+    _, _, pstate, _ = ppo_mod.build(cfg, ppo_cfg, MODEL, SUBS, N, jax.random.PRNGKey(0))
+    teacher = ea.TeacherBundle(params=pstate.params, obs_rms=pstate.obs_rms,
+                               priv_rms=pstate.priv_rms)
+    da_cfg = ea.DAggerConfig(horizon=4, mini_epochs=2, replay_size=64)
+    assert da_cfg.replay_mode == "device_split"
+    student, tx, dstate, train_epoch = ea.build(
+        cfg, da_cfg, MODEL, SUBS, N, teacher, jax.random.PRNGKey(1)
+    )
+    # split mode: reservoir lives on the epoch object, not in the state
+    assert dstate.replay is None
+    assert getattr(train_epoch, "host_composed", False)
+    assert train_epoch.cursor == 0
+    losses = []
+    p0 = jax.tree_util.tree_leaves(dstate.student_params)[0].copy()
+    for _ in range(3):
+        dstate, metrics = train_epoch(dstate)
+        losses.append(float(metrics["loss"]))
+    B = 4 * N
+    assert train_epoch.cursor == 3 * B
+    assert np.all(np.isfinite(losses))
+    # newest samples actually landed in the reservoir, and params updated
+    assert float(np.abs(np.asarray(train_epoch.replay["obs"])).sum()) > 0
+    assert not np.allclose(np.asarray(p0),
+                           np.asarray(jax.tree_util.tree_leaves(dstate.student_params)[0]))
+    assert int(dstate.epoch) == 3
+    assert float(dstate.agent_steps) == 3 * B

@@ -63,8 +63,17 @@ def main(n_envs=8192, mode="sensors", reps=5):
     ppo_cfg = ppo_mod.PPOConfig(horizon=64, mini_epochs=8)
     net, tx, state, train_epoch = ppo_mod.build(
         cfg, ppo_cfg, model, subs, n_envs, jax.random.PRNGKey(0))
+    # progress markers (round-4 postmortem: the tool died compile-bound under
+    # a 900 s cap leaving a 147-byte log and no way to tell how far it got)
+    print(f"roofline: backend={jax.default_backend()} mode={mode} "
+          f"n_envs={n_envs}; lowering...", flush=True)
+    t_c = time.perf_counter()
     lowered = jax.jit(train_epoch).lower(state)
+    print("roofline: compiling (first compile ~15-20 min cold through the "
+          "axon tunnel; persistent cache makes reruns instant)...", flush=True)
     compiled = lowered.compile()
+    print(f"roofline: compiled in {time.perf_counter()-t_c:.1f}s; "
+          f"measuring {reps} epochs...", flush=True)
     ca = compiled.cost_analysis()
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
