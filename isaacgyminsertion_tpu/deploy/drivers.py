@@ -532,3 +532,132 @@ class ApriltagTracker(TrackerDevice):
                 cap.release()
             except Exception:
                 pass
+
+
+class SegTracker:
+    """Annotate-once plug-mask tracker — the SAM-pipeline analog.
+
+    Reference shape: algo/deploy/env/tracking_SAM.py (SegCameraSubscriber):
+    a ZED RGB stream is segmented once by SAM/GroundingDINO
+    ("annotate first img"), then the mask is PROPAGATED per frame by an AOT
+    video tracker; the output contract is a 180x320 mask with plug pixels =
+    plug_id (2), plus a shrink_mask() erosion utility used before
+    back-projecting the plug point cloud. That stack hinges on ~3 GB of
+    pretrained weights the deploy host must carry.
+
+    Here the same contract is met with an on-host tracker that needs no
+    weights: `annotate_init_frame(frame, mask|bbox)` seeds an HSV color
+    histogram of the object; each subsequent frame is histogram
+    back-projected (cv2.calcBackProject), the object window is re-localized
+    with CamShift, and the mask is the thresholded back-projection inside
+    the (slightly inflated) window, morphologically cleaned. Output:
+    uint8 [180, 320] mask in {0, plug_id}, same as the reference.
+
+    API parity: is_tracking() / annotate_init_frame() / propagate_one_frame()
+    mirror tracking_SAM.main_tracker; get_frame() returns the latest mask,
+    shrink_mask() the erosion-to-target-area utility
+    (tracking_SAM.py:96-117).
+    """
+
+    def __init__(self, w: int = 320, h: int = 180, plug_id: int = 2,
+                 bins: int = 24, bp_thresh: int = 50):
+        try:
+            import cv2
+        except ImportError as e:  # pragma: no cover - requires opencv
+            raise DriverUnavailable("opencv (cv2) not installed") from e
+        self._cv2 = cv2
+        self.w, self.h = w, h
+        self.plug_id = plug_id
+        self._bins = bins
+        self._bp_thresh = bp_thresh
+        self._hist = None
+        self._window = None  # (x, y, w, h)
+        self.last_mask = None
+
+    # ------------------------------------------------------------- contract
+    def is_tracking(self) -> bool:
+        return self._hist is not None
+
+    def annotate_init_frame(self, frame_rgb: np.ndarray,
+                            mask: np.ndarray | None = None,
+                            bbox: tuple | None = None):
+        """Seed the tracker from an initial mask or bbox (the reference gets
+        this from SAM; callers here pass a click-box or a seg-camera mask)."""
+        cv2 = self._cv2
+        frame = self._fit(frame_rgb)
+        if mask is None:
+            if bbox is None:
+                raise ValueError("annotate_init_frame needs mask= or bbox=")
+            x, y, bw, bh = [int(v) for v in bbox]
+            mask = np.zeros(frame.shape[:2], np.uint8)
+            mask[y:y + bh, x:x + bw] = 1
+        else:
+            mask = (self._fit_mask(mask) > 0).astype(np.uint8)
+        hsv = cv2.cvtColor(frame, cv2.COLOR_RGB2HSV)
+        # 2D hue-saturation histogram over the annotated pixels only
+        self._hist = cv2.calcHist([hsv], [0, 1], mask, [self._bins, self._bins],
+                                  [0, 180, 0, 256])
+        cv2.normalize(self._hist, self._hist, 0, 255, cv2.NORM_MINMAX)
+        ys, xs = np.nonzero(mask)
+        self._window = (int(xs.min()), int(ys.min()),
+                        int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1))
+        self.last_mask = mask.astype(np.uint8) * self.plug_id
+        return self.last_mask
+
+    def propagate_one_frame(self, frame_rgb: np.ndarray) -> np.ndarray:
+        """Track the annotated object into the next frame; returns the
+        {0, plug_id} mask (reference propagate_one_frame contract)."""
+        if not self.is_tracking():
+            raise RuntimeError("annotate first img")
+        cv2 = self._cv2
+        frame = self._fit(frame_rgb)
+        hsv = cv2.cvtColor(frame, cv2.COLOR_RGB2HSV)
+        bp = cv2.calcBackProject([hsv], [0, 1], self._hist,
+                                 [0, 180, 0, 256], scale=1)
+        crit = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 1.0)
+        try:
+            _, self._window = cv2.CamShift(bp, self._window, crit)
+        except cv2.error:  # degenerate window: keep previous
+            pass
+        x, y, ww, wh = self._window
+        # inflate the window 20% and mask = thresholded backprojection inside
+        pad_x, pad_y = int(0.2 * ww) + 2, int(0.2 * wh) + 2
+        x0, y0 = max(x - pad_x, 0), max(y - pad_y, 0)
+        x1, y1 = min(x + ww + pad_x, self.w), min(y + wh + pad_y, self.h)
+        gate = np.zeros_like(bp)
+        gate[y0:y1, x0:x1] = 1
+        m = ((bp >= self._bp_thresh) & (gate > 0)).astype(np.uint8)
+        kernel = np.ones((3, 3), np.uint8)
+        m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, kernel, iterations=2)
+        m = cv2.morphologyEx(m, cv2.MORPH_OPEN, kernel, iterations=1)
+        self.last_mask = m * self.plug_id
+        return self.last_mask
+
+    def get_frame(self) -> np.ndarray | None:
+        """Latest {0, plug_id} mask (SegCameraSubscriber.get_frame parity)."""
+        return self.last_mask
+
+    def shrink_mask(self, mask: np.ndarray, shrink_percentage: float = 10.0
+                    ) -> np.ndarray:
+        """Erode until the object area drops by shrink_percentage
+        (tracking_SAM.py:96-117 parity, used before pcl backprojection)."""
+        cv2 = self._cv2
+        target = float((mask > 0).sum()) * (1.0 - shrink_percentage / 100.0)
+        kernel = np.ones((3, 3), np.uint8)
+        out = (mask > 0).astype(np.uint8)
+        while out.sum() > target and out.any():
+            out = cv2.erode(out, kernel, iterations=1)
+        return out * self.plug_id
+
+    # ------------------------------------------------------------- helpers
+    def _fit(self, frame: np.ndarray) -> np.ndarray:
+        if frame.ndim == 2:
+            frame = np.repeat(frame[..., None], 3, axis=-1)
+        if frame.shape[:2] != (self.h, self.w):
+            frame = _resize_nn(frame, (self.h, self.w))
+        return np.ascontiguousarray(frame[..., :3].astype(np.uint8))
+
+    def _fit_mask(self, mask: np.ndarray) -> np.ndarray:
+        if mask.shape != (self.h, self.w):
+            mask = _resize_nn(mask.astype(np.uint8), (self.h, self.w))
+        return mask

@@ -142,3 +142,45 @@ def test_openhand_servo_vec_roundtrip():
     for f in range(3):
         assert np.isclose(back[2 + 2 * f] - o.distal_open,
                           0.4 * (vec[1 + 2 * f] - o.proximal_open), atol=1e-5)
+
+
+def test_seg_tracker_follows_moving_object():
+    """SegTracker (tracking_SAM analog): annotate once, propagate across a
+    moving synthetic object; the mask must follow with decent IoU and the
+    shrink util must reduce area by the requested fraction."""
+    pytest.importorskip("cv2")
+    import numpy as np
+
+    from isaacgyminsertion_tpu.deploy.drivers import SegTracker
+
+    rng = np.random.default_rng(0)
+
+    def frame_with_square(x, y, s=40):
+        f = np.full((180, 320, 3), 30, np.uint8)
+        f += rng.integers(0, 8, f.shape, dtype=np.uint8)  # sensor noise
+        f[y:y + s, x:x + s] = (200, 60, 60)  # red-ish plug
+        return f
+
+    t = SegTracker()
+    assert not t.is_tracking()
+    f0 = frame_with_square(60, 60)
+    m0 = np.zeros((180, 320), np.uint8)
+    m0[60:100, 60:100] = 1
+    out0 = t.annotate_init_frame(f0, mask=m0)
+    assert t.is_tracking()
+    assert set(np.unique(out0)) <= {0, 2}
+
+    x = y = 60
+    for i in range(10):
+        x += 6
+        y += 3
+        mask = t.propagate_one_frame(frame_with_square(x, y))
+    gt = np.zeros((180, 320), bool)
+    gt[y:y + 40, x:x + 40] = True
+    pred = mask > 0
+    iou = (gt & pred).sum() / max((gt | pred).sum(), 1)
+    assert iou > 0.5, f"tracker lost the object: IoU {iou:.2f}"
+    assert mask.max() == 2  # plug_id contract
+
+    shrunk = t.shrink_mask(mask, 20.0)
+    assert 0.5 * pred.sum() < (shrunk > 0).sum() <= 0.85 * pred.sum()
