@@ -12,4 +12,5 @@ python train.py train.algo=ExtrinsicAdapt test=True \
   task.external_cam.external_cam=True \
   task.external_cam.seg_cam=True task.external_cam.pcl_cam=True \
   train.ppo.pcl_info=True train.ppo.obs_info=True \
+  train.ppo.only_bc=${ONLY_BC:-True} \
   "$@"

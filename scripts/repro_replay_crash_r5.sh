@@ -18,7 +18,7 @@ CKPT="${TEACHER:-checkpoints/teacher_r2b/best_success.ckpt}" NUM_ENVS=256 \
 rc=$?
 echo "repro rc=$rc (124 = timeout, e.g. compile-bound)"
 # bank the tail with the actual error text for the post-mortem
-tail -c 10000 "$LOG" > checkpoints/student_r5/repro_ingraph_invalidargument.log
+tail -c 10000 "$LOG" > checkpoints/student_r5/repro_ingraph_invalidargument.txt
 if [ -s "$OUT/metrics.jsonl" ]; then
   echo "SURVIVED: in-graph K=400k wrote metrics (no repro this time)"
 else
