@@ -89,6 +89,20 @@ class DAggerConfig:
     #     InvalidArgument at K=400k and compile-scales badly at K=100k
     #     (ROUND4/5_NOTES); kept for the crash repro and CPU tests.
     replay_mode: str = "device_split"
+    # Stratified aggregation (round-5, split mode only; no reference
+    # counterpart): round-5 attempt-1 showed uniform Algorithm R still
+    # spirals for the obs+pcl student — once β→0 the buffer fills with
+    # off-distribution self-states whose teacher labels depend on privileged
+    # state the student cannot see (irreducible MSE ~0.3 vs 0.013 on
+    # teacher-era states), and they swamp the fittable teacher-era data.
+    # With stratify=True the reservoir splits in half: reservoir A collects
+    # while β ≥ replay_freeze_beta then FREEZES (a permanent uniform sample
+    # of the teacher-driven distribution); reservoir B keeps rolling over
+    # everything. Each minibatch draws half from each, so the teacher-state
+    # fit can never be swamped — a non-uniform weighting of the DAgger
+    # aggregate, still a valid Ross-et-al-style reduction.
+    replay_stratify: bool = False
+    replay_freeze_beta: float = 0.5
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -268,7 +282,8 @@ def build(
     return student, tx, state, train_epoch
 
 
-def _replay_arrays(cfg_task, da_cfg: DAggerConfig, env_state, out0, n_envs):
+def _replay_arrays(cfg_task, da_cfg: DAggerConfig, env_state, out0, n_envs,
+                   K: int | None = None):
     """Zero-initialized reservoir, one slot per labeled sample, shaped like
     the rollout sample dict. ONLY student-consumed modalities are stored
     (`_sample_modalities`): the env may render img+seg purely to assemble the
@@ -276,7 +291,7 @@ def _replay_arrays(cfg_task, da_cfg: DAggerConfig, env_state, out0, n_envs):
     instead of 7 — 11 GB at K=400k, past v5e HBM. Frame fields are stored f16
     (pure [0,1] frames / metric clouds; quantization ≪ the env's own DR
     noise)."""
-    K = da_cfg.replay_size
+    K = K if K is not None else da_cfg.replay_size
     sample0 = dict(
         obs=env_state.obs_queue, student_obs=env_state.obs_stud_queue,
         t_actions=jnp.zeros((n_envs, cfg_task.env.num_actions)),
@@ -532,6 +547,13 @@ def make_split_replay_epoch(cfg_task, da_cfg: DAggerConfig, model, subs,
     B = da_cfg.horizon * n_envs
     mb_size = max(B // da_cfg.mini_epochs, 1)
     n_mb = B // mb_size
+    stratify = da_cfg.replay_stratify
+    # stratified: half the capacity is reservoir A (teacher-era, frozen once
+    # β < replay_freeze_beta), half reservoir B (rolling over everything);
+    # each minibatch draws half from each (DAggerConfig.replay_stratify)
+    K_A = K // 2 if stratify else 0
+    K_B = K - K_A if stratify else K
+    mb_a = mb_size // 2
 
     def rollout(state: DAggerState):
         carry = (state.env_state, state, state.rng)
@@ -552,16 +574,44 @@ def make_split_replay_epoch(cfg_task, da_cfg: DAggerConfig, model, subs,
         roll = jax.tree_util.tree_map(jnp.mean, roll_metrics)
         return state, batch, roll, k_res, k_upd
 
-    def scatter(replay, batch, t, key):
-        # Algorithm R: sequential fill until full; then global sample g lands
-        # at slot r ~ U[0, g] and is dropped if r >= K (scatter mode='drop')
-        g = t + jnp.arange(B)
-        r = (jax.random.uniform(key, (B,)) * (g + 1).astype(jnp.float32)
-             ).astype(jnp.int32)
-        slot = jnp.where(g < K, g, jnp.where(r < K, r, K))  # K = dropped
-        return {k: replay[k].at[slot].set(
-            batch[k].astype(replay[k].dtype), mode="drop")
-            for k in replay}
+    def make_scatter(cap: int):
+        def scatter(replay, batch, t, key):
+            # Algorithm R: sequential fill until full; then global sample g
+            # lands at slot r ~ U[0, g], dropped if r >= cap (mode='drop')
+            g = t + jnp.arange(B)
+            r = (jax.random.uniform(key, (B,)) * (g + 1).astype(jnp.float32)
+                 ).astype(jnp.int32)
+            slot = jnp.where(g < cap, g, jnp.where(r < cap, r, cap))
+            return {k: replay[k].at[slot].set(
+                batch[k].astype(replay[k].dtype), mode="drop")
+                for k in replay}
+
+        return scatter
+
+    def _mb_update_fn(replay_a, replay_b):
+        """One minibatch step gathering from reservoir(s); replay_a is None
+        in the uniform (non-stratified) mode."""
+
+        def gather(replay, idx):
+            return {k: v[idx].astype(jnp.float32) if v.dtype == jnp.float16
+                    else v[idx] for k, v in replay.items()}
+
+        def mb_update(carry, idx):
+            params, opt_state, da_like = carry
+            if replay_a is None:
+                mb = gather(replay_b, idx)
+            else:
+                idx_a, idx_b = idx
+                ga, gb = gather(replay_a, idx_a), gather(replay_b, idx_b)
+                mb = {k: jnp.concatenate([ga[k], gb[k]], axis=0) for k in ga}
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, da_like, mb)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return (params, opt_state, da_like), aux
+
+        return mb_update
 
     def update(params, opt_state, stud_obs_rms, pcl_rms, replay, fill, key):
         da_like = DAggerState(
@@ -569,25 +619,41 @@ def make_split_replay_epoch(cfg_task, da_cfg: DAggerConfig, model, subs,
             pcl_rms=pcl_rms, env_state=None, rng=None,
             epoch=None, agent_steps=None,
         )
-
-        def mb_update(carry, idx):
-            params, opt_state = carry
-            mb = {k: v[idx].astype(jnp.float32) if v.dtype == jnp.float16
-                  else v[idx] for k, v in replay.items()}
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, da_like, mb)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            aux["loss"] = loss
-            return (params, opt_state), aux
+        mb_update = _mb_update_fn(None, replay)
 
         def epoch_body(carry, _):
             params, opt_state, rng_i = carry
             rng_i, kp = jax.random.split(rng_i)
             perm = jax.random.randint(kp, (n_mb, mb_size), 0,
                                       jnp.maximum(fill, 1))
-            (params, opt_state), aux = jax.lax.scan(
-                mb_update, (params, opt_state), perm)
+            (params, opt_state, _), aux = jax.lax.scan(
+                mb_update, (params, opt_state, da_like), perm)
+            return (params, opt_state, rng_i), jax.tree_util.tree_map(jnp.mean, aux)
+
+        (params, opt_state, _), aux = jax.lax.scan(
+            epoch_body, (params, opt_state, key), None,
+            length=da_cfg.mini_epochs,
+        )
+        return params, opt_state, jax.tree_util.tree_map(jnp.mean, aux)
+
+    def update_strat(params, opt_state, stud_obs_rms, pcl_rms, replay_a,
+                     replay_b, fill_a, fill_b, key):
+        da_like = DAggerState(
+            student_params=None, opt_state=None, stud_obs_rms=stud_obs_rms,
+            pcl_rms=pcl_rms, env_state=None, rng=None,
+            epoch=None, agent_steps=None,
+        )
+        mb_update = _mb_update_fn(replay_a, replay_b)
+
+        def epoch_body(carry, _):
+            params, opt_state, rng_i = carry
+            rng_i, ka, kb = jax.random.split(rng_i, 3)
+            perm_a = jax.random.randint(ka, (n_mb, mb_a), 0,
+                                        jnp.maximum(fill_a, 1))
+            perm_b = jax.random.randint(kb, (n_mb, mb_size - mb_a), 0,
+                                        jnp.maximum(fill_b, 1))
+            (params, opt_state, _), aux = jax.lax.scan(
+                mb_update, (params, opt_state, da_like), (perm_a, perm_b))
             return (params, opt_state, rng_i), jax.tree_util.tree_map(jnp.mean, aux)
 
         (params, opt_state, _), aux = jax.lax.scan(
@@ -608,31 +674,65 @@ def make_split_replay_epoch(cfg_task, da_cfg: DAggerConfig, model, subs,
     # ops XLA cannot CSE. IGT_REPLAY_DONATE=0 opts out (costs a 2x replay
     # double-buffer during the scatter).
     import os as _os
+    donate = _os.environ.get("IGT_REPLAY_DONATE", "1") == "1"
     rollout_jit = jax.jit(rollout)
-    if _os.environ.get("IGT_REPLAY_DONATE", "1") == "1":
-        scatter_jit = jax.jit(scatter, donate_argnums=0)
-    else:
-        scatter_jit = jax.jit(scatter)
-    update_jit = jax.jit(update)
+
+    def jit_scatter(cap):
+        fn = make_scatter(cap)
+        return jax.jit(fn, donate_argnums=0) if donate else jax.jit(fn)
 
     class SplitEpoch:
         host_composed = True
 
         def __init__(self):
-            self.replay = replay0
+            if stratify:
+                self.replay_a = {k: v[:K_A] for k, v in replay0.items()}
+                self.replay_b = {k: v[K_A:] for k, v in replay0.items()}
+                self.scatter_a = jit_scatter(K_A)
+                self.scatter_b = jit_scatter(K_B)
+                self.update = jax.jit(update_strat)
+                self.cursor_a = 0  # teacher-era samples captured (host int)
+                self.a_frozen = False
+            else:
+                self.replay_b = replay0
+                self.scatter_b = jit_scatter(K_B)
+                self.update = jax.jit(update)
             self.cursor = 0  # total labeled samples seen (host int)
 
         def __call__(self, state: DAggerState):
             state, batch, roll, k_res, k_upd = rollout_jit(state)
-            self.replay = scatter_jit(self.replay, batch,
-                                      jnp.asarray(self.cursor, jnp.int32), k_res)
+            if stratify:
+                # reservoir A collects only while β ≥ replay_freeze_beta
+                # (computed on the host: agent_steps == cursor), then freezes
+                beta = max(0.0, 1.0 - self.cursor / da_cfg.beta_anneal_steps)
+                if beta >= da_cfg.replay_freeze_beta and not self.a_frozen:
+                    self.replay_a = self.scatter_a(
+                        self.replay_a, batch,
+                        jnp.asarray(self.cursor_a, jnp.int32),
+                        jax.random.fold_in(k_res, 1))
+                    self.cursor_a += B
+                else:
+                    self.a_frozen = True
+            self.replay_b = self.scatter_b(
+                self.replay_b, batch, jnp.asarray(self.cursor, jnp.int32), k_res)
             self.cursor += B
-            fill = jnp.asarray(min(self.cursor, K), jnp.int32)
-            params, opt_state, aux = update_jit(
-                state.student_params, state.opt_state, state.stud_obs_rms,
-                state.pcl_rms, self.replay, fill, k_upd)
+            fill_b = jnp.asarray(min(self.cursor, K_B), jnp.int32)
+            if stratify:
+                fill_a = jnp.asarray(min(max(self.cursor_a, 1), K_A), jnp.int32)
+                params, opt_state, aux = self.update(
+                    state.student_params, state.opt_state, state.stud_obs_rms,
+                    state.pcl_rms, self.replay_a, self.replay_b,
+                    fill_a, fill_b, k_upd)
+            else:
+                params, opt_state, aux = self.update(
+                    state.student_params, state.opt_state, state.stud_obs_rms,
+                    state.pcl_rms, self.replay_b, fill_b, k_upd)
             state = state._replace(student_params=params, opt_state=opt_state)
             metrics = {**aux, **{f"episode/{k}": v for k, v in roll.items()}}
             return state, metrics
+
+        @property
+        def replay(self):  # uniform-mode alias (tests/inspection)
+            return self.replay_b
 
     return SplitEpoch()

@@ -26,7 +26,7 @@ trap 'kill $BANKER 2>/dev/null' EXIT
 CKPT="$TEACHER" NUM_ENVS=256 timeout "${STUDENT_S:-7200}" bash scripts/train_s2.sh \
   dagger.replay_size="$REPLAY_K" dagger.replay_mode=device_split \
   eval_freq_steps=2e6 eval_envs=256 max_epochs="${STUDENT_EPOCHS:-1500}" \
-  output="$OUT"
+  output="$OUT" "$@"
 rc=$?
 echo "student rc=$rc (124 = wall-clock cap)"
 for f in metrics.jsonl best_success.ckpt last.ckpt noise_study.png; do

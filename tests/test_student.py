@@ -122,3 +122,35 @@ def test_dagger_replay_device_split_default():
                            np.asarray(jax.tree_util.tree_leaves(dstate.student_params)[0]))
     assert int(dstate.epoch) == 3
     assert float(dstate.agent_steps) == 3 * B
+
+
+def test_dagger_replay_stratified():
+    """Stratified split replay: reservoir A captures the high-β (teacher-era)
+    distribution then freezes; B keeps rolling; minibatches mix both."""
+    cfg = default_task_config()
+    ppo_cfg = ppo_mod.PPOConfig(horizon=4, mini_epochs=2)
+    _, _, pstate, _ = ppo_mod.build(cfg, ppo_cfg, MODEL, SUBS, N, jax.random.PRNGKey(0))
+    teacher = ea.TeacherBundle(params=pstate.params, obs_rms=pstate.obs_rms,
+                               priv_rms=pstate.priv_rms)
+    # anneal over 2 epochs' worth of samples: epoch 1 has β=1 (A collects),
+    # epoch 3 has β<0.5 (A frozen)
+    B = 4 * N
+    da_cfg = ea.DAggerConfig(horizon=4, mini_epochs=2, replay_size=64,
+                             replay_stratify=True, beta_anneal_steps=2 * B,
+                             teacher_only_steps=0)
+    student, tx, dstate, train_epoch = ea.build(
+        cfg, da_cfg, MODEL, SUBS, N, teacher, jax.random.PRNGKey(1)
+    )
+    assert train_epoch.host_composed
+    losses = []
+    for _ in range(3):
+        dstate, metrics = train_epoch(dstate)
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert train_epoch.cursor == 3 * B
+    # A froze once β < 0.5 (after the first epoch: β = 1 - B/(2B) = 0.5 at
+    # epoch 2's host check → still collects; epoch 3 β=0.25 → frozen)
+    assert train_epoch.a_frozen
+    assert train_epoch.cursor_a < train_epoch.cursor
+    assert float(np.abs(np.asarray(train_epoch.replay_a["obs"])).sum()) > 0
+    assert float(np.abs(np.asarray(train_epoch.replay_b["obs"])).sum()) > 0
