@@ -79,3 +79,18 @@ members = run_pbt_population(
     mutable_hparams=mutable,
 )
 print("final objectives:", [m["objective"] for m in members])
+
+# export the global best as a standard checkpoint (train.py test=True-able):
+# PbtMember.weights already uses the Checkpointer key layout
+import pickle
+
+ws = os.environ.get("WORKSPACE", "outputs/pbt")
+best_path = os.path.join(ws, "best.pbt")
+if os.path.exists(best_path):
+    with open(best_path, "rb") as f:
+        best = pickle.load(f)
+    out = os.path.join(ws, "best_success.ckpt")
+    with open(out, "wb") as f:
+        pickle.dump(jax.device_get(best.weights), f)
+    print(f"pbt global best: policy {best.policy_idx} "
+          f"objective {best.true_objective:.4f} -> {out}")
