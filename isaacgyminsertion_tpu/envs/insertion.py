@@ -981,9 +981,20 @@ def step(
         gc = (lambda x: x[sel_c]) if use_sel else (lambda x: x)
         # the descending hand occludes the scene in the reference's depth/seg
         # frames (kuka actor seg id 1, factory_env_insertion.py:814-848):
-        # proxy it as 3 fingertip spheres + a wrist→hand capsule
+        # proxy it as 3 fingertip spheres + a wrist→palm capsule.
+        # Round-5 fix (student perception postmortem, ROUND5_NOTES): the
+        # proxy used to end the 45 mm capsule AT the fingertip-centered
+        # frame with 18 mm tip spheres — a ball swallowing the grasp region
+        # that occluded ~92% of the plug's pixels (225 → ~18 at 96×54), so
+        # the plug slice of the student's point cloud was noise for three
+        # rounds. The real OpenHand silhouette is thin fingers below a palm:
+        # end the capsule at the PALM (55% from fingertips toward the
+        # wrist), radius 32 mm, and 12 mm fingertip spheres — the grasped
+        # plug's exposed length reads through the finger gaps like the
+        # reference's mesh render.
         cam_tips = engine.fingertip_poses(model, fk2)[1]
         cam_wrist = fk2.body_t[..., 6, :]
+        cam_palm = ftc_t2 + 0.55 * (cam_wrist - ftc_t2)
         depth_n, seg_im, depth_raw = cam_mod.render_depth_seg(
             ccfg, gc(phys.plug_quat), gc(phys.plug_pos), gc(state.params.socket_quat),
             gc(state.params.socket_pos), gc(state.params.kind_onehot),
@@ -992,7 +1003,8 @@ def step(
             gc(state.params.hole_hy), gc(state.params.socket_height),
             gc(state.params.table_height),
             noise_key=ki1,
-            tip_pos=gc(cam_tips), wrist_pos=gc(cam_wrist), hand_pos=gc(ftc_t2),
+            tip_pos=gc(cam_tips), wrist_pos=gc(cam_wrist), hand_pos=gc(cam_palm),
+            tip_radius=0.012, hand_radius=0.032,
         )
         if cfg.env.depth_cam:
             depth_h = depth_n.astype(state.img_queue.dtype)

@@ -62,13 +62,27 @@ def _downsample_planes(x, y, z, valid, k: int, key, fill_value: float = 0.0):
     fill_value by the ok-mask below). Default stays exact."""
     import os
 
-    score = valid.astype(x.dtype) + jax.random.uniform(key, valid.shape)
+    k_score, k_rep = jax.random.split(key)
+    score = valid.astype(x.dtype) + jax.random.uniform(k_score, valid.shape)
     if os.environ.get("IGT_PCL_TOPK") == "approx":
         _, idx = jax.lax.approx_max_k(score, k)            # [N, k]
     else:
         _, idx = jax.lax.top_k(score, k)                   # [N, k]
     take = lambda p: jnp.take_along_axis(p, idx, axis=1)
     ok = take(valid)
+    # fewer than k valid pixels: RESAMPLE the valid set WITH replacement
+    # instead of zero-filling (reference random-downsample semantics,
+    # pcl_utils.py:92-97 np.random.choice over the valid set). Round-5
+    # student postmortem: zero-fill planted a fat fake cluster at the origin
+    # whenever the plug was small/occluded — poison for the PointNet, and
+    # the jitter augment then disguised the zeros as near-origin "points".
+    # top_k ordering puts the c valid columns first, so a with-replacement
+    # draw over [0, c) re-indexes into them.
+    c = jnp.sum(valid, axis=1, keepdims=True).astype(jnp.int32)   # [N, 1]
+    j = jax.random.randint(k_rep, idx.shape, 0, jnp.maximum(c, 1))
+    idx = jnp.where(ok, idx, jnp.take_along_axis(idx, j, axis=1))
+    ok = jnp.take_along_axis(valid, idx, axis=1)  # False only when c == 0
+    take = lambda p: jnp.take_along_axis(p, idx, axis=1)
     pts = jnp.stack([take(x), take(y), take(z)], axis=-1)
     return jnp.where(ok[..., None], pts, fill_value)
 
@@ -100,55 +114,78 @@ def workspace_crop(points: jax.Array, lo=WS_LO, hi=WS_HI) -> jax.Array:
 
 
 class PclAugmentConfig(NamedTuple):
-    """PointCloudAugmentations parity (factory_utils.py:83-166)."""
+    """PointCloudAugmentations parity (factory_utils.py:83-166).
+
+    Defaults = what the reference ACTUALLY APPLIES: `augment()` calls only
+    `random_noise` (±1 mm clipped gaussian jitter on ~30% of points + a
+    per-env constant offset); random_rotate / add_outliers /
+    batch_random_dropout are present but COMMENTED OUT
+    (factory_utils.py:158-166). Round-3/4/5 attempt-1..3 trained with
+    rotate ±30° + scale + outliers + dropout active — far harsher input
+    corruption than the reference student ever sees; off by default now,
+    knobs kept for robustness studies."""
 
     jitter_std: float = 0.001
-    rotate_deg: float = 30.0       # randomize.pcl_rot
-    scale_range: tuple = (0.95, 1.05)
-    outlier_frac: float = 0.02
-    dropout_frac: float = 0.1
+    jitter_clip: float = 0.001     # reference noise_clip
+    jitter_frac: float = 0.3       # reference noise_prob
+    rotate_deg: float = 0.0        # reference: commented out (was ±30)
+    scale_range: tuple = (1.0, 1.0)   # reference: commented out
+    outlier_frac: float = 0.0      # reference: commented out
+    dropout_frac: float = 0.0      # reference: commented out
 
 
 def augment_pcl(points: jax.Array, key: jax.Array, cfg: PclAugmentConfig, enable: jax.Array):
     """Random jitter/rotate/scale/outliers/dropout; `enable` [N] gates per env."""
     n = points.shape[0]
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    k1, k1m, k1c, k2, k3, k4, k5, k6 = jax.random.split(key, 8)
     x, y, z = points[..., 0], points[..., 1], points[..., 2]
-    # jitter (per-component draws as planes; same distribution as a [N,P,3] draw)
+    # jitter (reference random_noise): clipped gaussian on a random ~30%
+    # subset of points + a clipped per-env constant offset
     kx, ky, kz = jax.random.split(k1, 3)
-    x = x + cfg.jitter_std * jax.random.normal(kx, x.shape)
-    y = y + cfg.jitter_std * jax.random.normal(ky, y.shape)
-    z = z + cfg.jitter_std * jax.random.normal(kz, z.shape)
-    # rotate about z by ±rotate_deg around the centroid
-    ang = jnp.deg2rad(cfg.rotate_deg) * 2.0 * (jax.random.uniform(k2, (n, 1)) - 0.5)
-    c, s = jnp.cos(ang), jnp.sin(ang)
-    cx = jnp.mean(x, axis=1, keepdims=True)
-    cy = jnp.mean(y, axis=1, keepdims=True)
-    cz = jnp.mean(z, axis=1, keepdims=True)
-    rx, ry, rz = x - cx, y - cy, z - cz
-    rx, ry = c * rx - s * ry, s * rx + c * ry
-    # scale
-    sc = jax.random.uniform(k3, (n, 1), minval=cfg.scale_range[0],
-                            maxval=cfg.scale_range[1])
-    x = cx + rx * sc
-    y = cy + ry * sc
-    z = cz + rz * sc
-    # outliers: replace a fraction with uniform noise in the local bbox
-    r = jax.random.uniform(k4, x.shape)
-    out_mask = r < cfg.outlier_frac
-    k5x, k5y, k5z = jax.random.split(k5, 3)
-    bb = lambda p, kk: (jnp.min(p, axis=1, keepdims=True)
-                        + jax.random.uniform(kk, p.shape)
-                        * (jnp.max(p, axis=1, keepdims=True)
-                           - jnp.min(p, axis=1, keepdims=True)))
-    x = jnp.where(out_mask, bb(x, k5x), x)
-    y = jnp.where(out_mask, bb(y, k5y), y)
-    z = jnp.where(out_mask, bb(z, k5z), z)
-    # dropout: duplicate the first point over a random fraction
-    rd = jax.random.uniform(k6, x.shape) < cfg.dropout_frac
-    x = jnp.where(rd, x[:, :1], x)
-    y = jnp.where(rd, y[:, :1], y)
-    z = jnp.where(rd, z[:, :1], z)
+    jit = lambda p, kk: jnp.clip(cfg.jitter_std * jax.random.normal(kk, p.shape),
+                                 -cfg.jitter_clip, cfg.jitter_clip)
+    jmask = (jax.random.uniform(k1m, x.shape) < cfg.jitter_frac).astype(x.dtype)
+    const = jnp.clip(
+        cfg.jitter_std * jax.random.normal(k1c, (n, 1, 3)),
+        -cfg.jitter_clip, cfg.jitter_clip)
+    x = x + jit(x, kx) * jmask + const[..., 0]
+    y = y + jit(y, ky) * jmask + const[..., 1]
+    z = z + jit(z, kz) * jmask + const[..., 2]
+    if cfg.rotate_deg > 0.0:
+        # rotate about z by ±rotate_deg around the centroid
+        ang = jnp.deg2rad(cfg.rotate_deg) * 2.0 * (jax.random.uniform(k2, (n, 1)) - 0.5)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        cx = jnp.mean(x, axis=1, keepdims=True)
+        cy = jnp.mean(y, axis=1, keepdims=True)
+        rx, ry = x - cx, y - cy
+        rx, ry = c * rx - s * ry, s * rx + c * ry
+        x, y = cx + rx, cy + ry
+    if cfg.scale_range != (1.0, 1.0):
+        sc = jax.random.uniform(k3, (n, 1), minval=cfg.scale_range[0],
+                                maxval=cfg.scale_range[1])
+        cx = jnp.mean(x, axis=1, keepdims=True)
+        cy = jnp.mean(y, axis=1, keepdims=True)
+        cz = jnp.mean(z, axis=1, keepdims=True)
+        x = cx + (x - cx) * sc
+        y = cy + (y - cy) * sc
+        z = cz + (z - cz) * sc
+    if cfg.outlier_frac > 0.0:
+        # outliers: replace a fraction with uniform noise in the local bbox
+        out_mask = jax.random.uniform(k4, x.shape) < cfg.outlier_frac
+        k5x, k5y, k5z = jax.random.split(k5, 3)
+        bb = lambda p, kk: (jnp.min(p, axis=1, keepdims=True)
+                            + jax.random.uniform(kk, p.shape)
+                            * (jnp.max(p, axis=1, keepdims=True)
+                               - jnp.min(p, axis=1, keepdims=True)))
+        x = jnp.where(out_mask, bb(x, k5x), x)
+        y = jnp.where(out_mask, bb(y, k5y), y)
+        z = jnp.where(out_mask, bb(z, k5z), z)
+    if cfg.dropout_frac > 0.0:
+        # dropout: duplicate the first point over a random fraction
+        rd = jax.random.uniform(k6, x.shape) < cfg.dropout_frac
+        x = jnp.where(rd, x[:, :1], x)
+        y = jnp.where(rd, y[:, :1], y)
+        z = jnp.where(rd, z[:, :1], z)
     out = jnp.stack([x, y, z], axis=-1)
     return jnp.where(enable[:, None, None], out, points)
 
