@@ -13,6 +13,10 @@ Env knobs (round-5 fine-tune-sweep use case, VERDICT r4 item 3b):
                   when RESTORE is set: lr mutates recompile-free on chip)
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
