@@ -117,10 +117,22 @@ def pbt_update(
     n_worst = max(int(p.replace_fraction_worst * n), 1)
     ranks = {m.policy_idx: i for i, m in enumerate(members)}
 
-    # save global best (pbt.py:330-343)
+    # save global best (pbt.py:330-343) — only when it IMPROVES on the saved
+    # one (reference _maybe_save_best_policy keeps the all-time best; an
+    # unconditional overwrite would track the current population's top even
+    # as the whole population declines)
     best = members[0]
-    with open(os.path.join(p.workspace, "best.pbt"), "wb") as f:
-        pickle.dump(best, f)
+    best_path = os.path.join(p.workspace, "best.pbt")
+    prev_obj = float("-inf")
+    if os.path.exists(best_path):
+        try:
+            with open(best_path, "rb") as f:
+                prev_obj = pickle.load(f).true_objective
+        except Exception:
+            pass
+    if best.true_objective > prev_obj:
+        with open(best_path, "wb") as f:
+            pickle.dump(best, f)
 
     my_rank = ranks.get(my.policy_idx, n - 1)
     in_worst = my_rank >= n - n_worst
